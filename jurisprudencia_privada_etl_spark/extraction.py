@@ -1,0 +1,103 @@
+"""The Arrow extraction/normalization stage (SURVEY.md §2.9, §3.2 steps 1-9).
+
+The reference processes one document at a time: validate metadata
+(sharepoint.ts:595-631), derive (date, area, section) from the path
+(sharepoint.ts:472-498), normalize/clean fields through a spawned python
+child process (sharepoint.ts:537-583 ↔ pdf_parser.py:14-54).  Per-row
+round-trips are exactly what the north rule bans; here the whole stage is one
+``mapInPandas`` over Arrow batches — columnar pandas ops on thousands of rows
+per batch, plus JVM expressions for everything Spark can do natively.
+
+Split of labor:
+  * JVM (whole-stage codegen, applied in ``with_jvm_derived``): sha256
+    invariant, xxhash fingerprint, basename/dirname/extension, date-from-path,
+    first-match section mapping.
+  * Arrow batch (``extract``): NFD accent folding (no Spark builtin),
+    whitespace canonicalization of derived fields, summary-flagging on the
+    folded basename — the field-cleaning the reference does in
+    pdf_parser.py:40-53 and the Sumário detection at sharepoint.ts:256-258.
+
+The stage only ADDS columns; ``content`` passes through untouched so the
+sha256(content) invariant is preserved end-to-end.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from jurisprudencia_privada_etl_spark.functions.hashing import content_sha, quick_fingerprint
+from jurisprudencia_privada_etl_spark.functions.paths import (
+    basename,
+    date_from_path,
+    dirname,
+    extension,
+    first_match_map,
+)
+from jurisprudencia_privada_etl_spark.functions.text import nfd_fold_pandas
+
+# Area mapping mirrors the reference's ordered section dictionaries
+# (sharepoint.ts:26-48): first key contained in the lowered path wins.
+DEFAULT_AREA_MAP = [
+    ("civel", "Área Cível"),
+    ("criminal", "Área Criminal"),
+    ("social", "Área Social"),
+    ("contencioso", "Contencioso"),
+    ("src", "Código"),
+]
+
+EXTRACTED_FIELDS = [
+    T.StructField("path_norm", T.StringType(), True),
+    T.StructField("title_norm", T.StringType(), True),
+    T.StructField("is_summary", T.BooleanType(), True),
+    T.StructField("n_tokens", T.IntegerType(), True),
+]
+
+
+def with_jvm_derived(df: DataFrame, default_year: int = 2026) -> DataFrame:
+    """Codegen-friendly derived columns — no Python involved."""
+    return (
+        df.withColumn("content_sha", content_sha("content"))
+        .withColumn("fingerprint", quick_fingerprint("content"))
+        .withColumn("folder", dirname("path"))
+        .withColumn("fname", basename("path"))
+        .withColumn("ext", extension("path"))
+        .withColumn("path_date", date_from_path("path", default_year))
+        .withColumn("area", first_match_map("path", DEFAULT_AREA_MAP, default="Outros"))
+    )
+
+
+def extract(df: DataFrame) -> DataFrame:
+    """Arrow batch stage: NFD folding + cleaning, vectorized pandas only."""
+    out_schema = T.StructType(list(df.schema.fields) + EXTRACTED_FIELDS)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.reindex(columns=out_schema.fieldNames())
+                continue
+            path = pdf["path"].astype("string").fillna("")
+            fname = path.str.rsplit("/", n=1).str[-1]
+            path_norm = nfd_fold_pandas(path)
+            title_norm = nfd_fold_pandas(fname).str.replace(r"\s+", " ", regex=True).str.strip()
+            content = pdf["content"].astype("string").fillna("")
+            pdf = pdf.assign(
+                path_norm=path_norm,
+                title_norm=title_norm,
+                # reference flags "Sumário" docs on the folded basename
+                # (sharepoint.ts:256-258, 383)
+                is_summary=title_norm.str.contains("sumario", regex=False),
+                n_tokens=content.str.count(r"\S+").astype("int32"),
+            )
+            yield pdf[out_schema.fieldNames()]
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def extraction_stage(df: DataFrame, default_year: int = 2026) -> DataFrame:
+    """JVM derivations + Arrow batch stage, in that order."""
+    return extract(with_jvm_derived(df, default_year))

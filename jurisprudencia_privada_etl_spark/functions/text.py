@@ -1,0 +1,76 @@
+"""Text expressions + the one genuine pandas UDF: NFD accent folding.
+
+Everything except NFD folding is a JVM Column expression (stays inside
+whole-stage codegen).  Spark has no Unicode-NFD builtin, so folding is a
+vectorized Arrow-batched pandas UDF (SURVEY.md §2.7 X1) — the engine's only
+Python scalar function, and it is Series-at-a-time, never row-at-a-time.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# ---------------------------------------------------------------------------
+# NFD accent fold (reference sharepoint.ts:688-693:
+#   s.normalize("NFD").replace(/[̀-ͯ]/g, "").toLowerCase())
+# ---------------------------------------------------------------------------
+
+def nfd_fold_pandas(s: pd.Series) -> pd.Series:
+    """Shared implementation used by BOTH the Spark UDF and the test oracle,
+    so normalization parity is by construction (SURVEY.md §7.3 item 2)."""
+    out = s.str.normalize("NFD").str.replace(r"[̀-ͯ]", "", regex=True).str.lower()
+    return out
+
+
+@pandas_udf(T.StringType())
+def nfd_fold_udf(s: pd.Series) -> pd.Series:
+    return nfd_fold_pandas(s)
+
+
+def nfd_fold_py(text: str) -> str:
+    """Plain-Python oracle for single strings (property tests)."""
+    decomposed = unicodedata.normalize("NFD", text)
+    stripped = "".join(ch for ch in decomposed if not ("̀" <= ch <= "ͯ"))
+    return stripped.lower()
+
+
+# ---------------------------------------------------------------------------
+# JVM expressions
+# ---------------------------------------------------------------------------
+
+def whitespace_canon(col: Column | str) -> Column:
+    """Newlines → space, collapse runs, trim (reference pdf_parser.py:44,50-53)."""
+    c = _c(col)
+    return F.trim(F.regexp_replace(F.regexp_replace(c, r"\n", " "), r"\s+", " "))
+
+
+def html_paragraphs(lines: Column | str) -> Column:
+    """Array of lines → '<p><font>line</font><br>' joined (aux.ts:56, 74-77)."""
+    arr = _c(lines)
+    return F.array_join(
+        F.transform(arr, lambda x: F.concat(F.lit("<p><font>"), x, F.lit("</font><br>"))),
+        "",
+    )
+
+
+def empty_html(col: Column | str) -> Column:
+    """True when HTML is effectively empty after stripping tags
+    (testEmptyHTML, juris.ts:16-23)."""
+    c = _c(col)
+    return F.trim(F.regexp_replace(c, r"<[^>]*>", "")) == F.lit("")
+
+
+def strip_html(col: Column | str) -> Column:
+    c = _c(col)
+    return F.trim(F.regexp_replace(c, r"<[^>]*>", ""))

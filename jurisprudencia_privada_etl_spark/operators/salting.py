@@ -1,0 +1,48 @@
+"""Salted repartitioning to defeat hot-key skew (SURVEY.md §4 P9).
+
+The reference is sequential and has no skew problem; the north rule mandates
+salting because a source-code changelog is Zipf-hot (one monorepo dominates).
+Partitioning the heavy Arrow extraction stage by ``(repo, path)`` alone would
+put a hot repo's entire event volume on one task; adding a salt derived from
+the *ordinal* spreads each hot key's events over ``n_salts`` tasks.
+
+Correctness invariant (SURVEY.md §7.3 item 4): salting must never change
+merge semantics.  The salt only balances the *map* stage; LWW dedup and the
+MERGE both run on the unsalted key afterwards.  ``tests/test_salting.py``
+property-tests salted ≡ unsalted output bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from jurisprudencia_privada_etl_spark.schemas import KEY_COLUMNS, ORDINAL_COLUMN
+
+SALT_COLUMN = "_salt"
+
+
+def salted_repartition(
+    df: DataFrame,
+    num_partitions: int,
+    n_salts: int = 16,
+    key_cols: list[str] | None = None,
+    ordinal_col: str = ORDINAL_COLUMN,
+) -> DataFrame:
+    """Repartition on (key..., salt) where salt = xxhash64(ordinal) % n_salts.
+
+    Deriving the salt from the ordinal (unique per event) rather than a
+    random number keeps the plan deterministic and replayable.
+    """
+    keys = key_cols or KEY_COLUMNS
+    salted = df.withColumn(
+        SALT_COLUMN, F.pmod(F.xxhash64(F.col(ordinal_col)), F.lit(n_salts))
+    )
+    return salted.repartition(num_partitions, *keys, SALT_COLUMN)
+
+
+def desalt(df: DataFrame) -> DataFrame:
+    """Drop the salt before key-semantic stages (LWW window, MERGE)."""
+    if SALT_COLUMN in df.columns:
+        return df.drop(SALT_COLUMN)
+    return df

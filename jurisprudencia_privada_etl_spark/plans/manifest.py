@@ -1,0 +1,109 @@
+"""Checkpoint / lineage manifest with atomic publish (SURVEY.md §2.8 T1-T3).
+
+The reference checkpoints a FilesystemUpdate record carrying the resume
+tokens ``delta_link``/``next_link`` plus created/updated/deleted counters
+(reference src/aux.ts:23-41, sharepoint.ts:181, 402, 424-425).  The engine's
+analog is a versioned JSON manifest per table snapshot:
+
+  * ``last_committed_epoch`` — the resume offset (T1): restart reads the
+    current manifest and continues at epoch+1.
+  * ``schema`` — the table schema with stable column ids (T6).
+  * ``buckets`` — which data directory holds each hash bucket, and which
+    schema version wrote it (the copy-on-write file inventory).
+  * ``metrics`` — per-epoch lineage: created/updated/deleted counts and
+    per-partition applied-event/byte metrics (A2; BASELINE.json north star).
+
+Atomicity (T3, SURVEY.md §7.3 item 1): a manifest is written to a temp name
+and ``os.rename``d into place — atomic on POSIX — and only AFTER the
+snapshot's data files are fully written.  The current snapshot is simply the
+highest ``v{N}.json``; a crash between data write and manifest publish leaves
+orphan data files and an unchanged table, and the epoch re-runs idempotently.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+from jurisprudencia_privada_etl_spark.schemas import TableSchema
+
+MANIFEST_DIR = "_manifest"
+
+
+@dataclass
+class Manifest:
+    version: int
+    last_committed_epoch: int  # -1 = nothing committed yet
+    schema: TableSchema
+    # bucket id (str for JSON) -> {"path": relative data dir, "schema_version": int}
+    buckets: dict[str, dict[str, Any]] = field(default_factory=dict)
+    n_buckets: int = 64
+    metrics: dict[str, Any] = field(default_factory=dict)
+    parent_version: int | None = None
+
+    def to_json(self) -> dict:
+        return {
+            "version": self.version,
+            "last_committed_epoch": self.last_committed_epoch,
+            "schema": self.schema.to_json(),
+            "buckets": self.buckets,
+            "n_buckets": self.n_buckets,
+            "metrics": self.metrics,
+            "parent_version": self.parent_version,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "Manifest":
+        return Manifest(
+            version=d["version"],
+            last_committed_epoch=d["last_committed_epoch"],
+            schema=TableSchema.from_json(d["schema"]),
+            buckets=d.get("buckets", {}),
+            n_buckets=d.get("n_buckets", 64),
+            metrics=d.get("metrics", {}),
+            parent_version=d.get("parent_version"),
+        )
+
+
+def _mdir(table_path: str) -> str:
+    return os.path.join(table_path, MANIFEST_DIR)
+
+
+def _vname(version: int) -> str:
+    return f"v{version:08d}.json"
+
+
+def publish(table_path: str, manifest: Manifest) -> None:
+    """Atomic write-then-rename publish of a manifest version."""
+    d = _mdir(table_path)
+    os.makedirs(d, exist_ok=True)
+    final = os.path.join(d, _vname(manifest.version))
+    tmp = final + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest.to_json(), f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, final)  # atomic on POSIX
+
+
+def current_version(table_path: str) -> int | None:
+    d = _mdir(table_path)
+    if not os.path.isdir(d):
+        return None
+    versions = [
+        int(name[1:9])
+        for name in os.listdir(d)
+        if name.startswith("v") and name.endswith(".json")
+    ]
+    return max(versions) if versions else None
+
+
+def load(table_path: str, version: int | None = None) -> Manifest | None:
+    if version is None:
+        version = current_version(table_path)
+        if version is None:
+            return None
+    with open(os.path.join(_mdir(table_path), _vname(version))) as f:
+        return Manifest.from_json(json.load(f))

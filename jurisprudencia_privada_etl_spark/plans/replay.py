@@ -1,0 +1,129 @@
+"""Epoch replay orchestration — the engine's main loop (SURVEY.md §3.1, §7.1).
+
+The reference's sweep (src/sharepoint/index.ts:20-27 → sharepoint.ts:148-157,
+400-470) becomes:
+
+    for each pending epoch (manifest.last_committed_epoch + 1 ...):
+        1. partition-pruned changelog scan of the epoch          (P1)
+        2. salted repartition on (repo, path, salt(ordinal))     (P9)
+        3. Arrow extraction/normalization stage                  (§2.9)
+        4. de-salt → LWW dedup on (repo, path) by ordinal        (W1)
+        5. schema evolution for this epoch, if any               (T6)
+        6. MERGE into the lake table                             (J5)
+        7. atomic manifest commit stamping the epoch             (T2/T3)
+
+Killable/resumable at any point: steps 1-6 are side-effect-free until the
+write inside merge(), merge() re-runs idempotently (epoch stamp check), and
+the manifest is the only commit point.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jurisprudencia_privada_etl_spark.extraction import extraction_stage
+from jurisprudencia_privada_etl_spark.operators.lww import lww_dedup, lww_dedup_agg
+from jurisprudencia_privada_etl_spark.operators.salting import desalt, salted_repartition
+from jurisprudencia_privada_etl_spark.plans.sink import HadoopParquetSink
+from jurisprudencia_privada_etl_spark.schemas import (
+    CHANGELOG_SCHEMA,
+    SchemaChange,
+    TableSchema,
+    TARGET_SCHEMA,
+)
+from jurisprudencia_privada_etl_spark.sources.changelog import list_epochs, read_epoch
+
+
+@dataclass
+class ReplayConfig:
+    n_salts: int = 16
+    num_partitions: int | None = None  # None → 2 × defaultParallelism
+    n_buckets: int = 64
+    default_year: int = 2026  # epoch-supplied constant, never wall clock
+    use_window_lww: bool = False  # row_number window vs max_by partial agg
+    run_extraction: bool = True
+    # epoch -> schema changes to apply BEFORE that epoch's merge
+    schema_evolution: dict[int, list[SchemaChange]] = field(default_factory=dict)
+
+
+def prepare_epoch_updates(
+    spark: SparkSession, batch: DataFrame, cfg: ReplayConfig, payload_cols: list[str]
+) -> DataFrame:
+    """Steps 2-4: salt → extract → de-salt → LWW winners, one row per key."""
+    parts = cfg.num_partitions or spark.sparkContext.defaultParallelism * 2
+    salted = salted_repartition(batch, parts, n_salts=cfg.n_salts)
+    extracted = extraction_stage(salted, cfg.default_year) if cfg.run_extraction else (
+        salted.withColumn("content_sha", F.sha2(F.col("content").cast("string"), 256))
+    )
+    unsalted = desalt(extracted)
+    lww = lww_dedup if cfg.use_window_lww else lww_dedup_agg
+    winners = lww(unsalted)
+    keep = [c for c in ["repo", "path", *payload_cols, "op", "ordinal", "content_sha"] if c in winners.columns]
+    # dedupe while preserving order
+    seen: set[str] = set()
+    keep = [c for c in keep if not (c in seen or seen.add(c))]
+    return winners.select(*keep)
+
+
+def process_epoch(
+    spark: SparkSession,
+    sink: HadoopParquetSink,
+    batch: DataFrame,
+    epoch: int,
+    cfg: ReplayConfig,
+) -> dict:
+    """Apply one epoch: evolve schema if scheduled, then merge LWW winners."""
+    if sink.last_committed_epoch() >= epoch:
+        return {"skipped": True, "epoch": epoch}
+    if epoch in cfg.schema_evolution:
+        sink.evolve(cfg.schema_evolution[epoch])
+    payload = [c.name for c in sink.manifest().schema.columns]
+    updates = prepare_epoch_updates(spark, batch, cfg, payload)
+    return sink.merge(updates, epoch)
+
+
+def replay(
+    spark: SparkSession,
+    changelog_path: str,
+    table_path: str,
+    cfg: ReplayConfig | None = None,
+    epochs: list[int] | None = None,
+) -> HadoopParquetSink:
+    """Full resumable replay of a stored changelog into a lake table."""
+    cfg = cfg or ReplayConfig()
+    sink = HadoopParquetSink(spark, table_path, n_buckets=cfg.n_buckets)
+    if not sink.exists():
+        sink.create(TableSchema.from_struct(TARGET_SCHEMA))
+    if epochs is None:
+        epochs = list_epochs(spark, changelog_path)
+    last = sink.last_committed_epoch()
+    for e in [e for e in epochs if e > last]:
+        batch = read_epoch(spark, changelog_path, e)
+        process_epoch(spark, sink, batch, e, cfg)
+    return sink
+
+
+def replay_dataframe(
+    spark: SparkSession,
+    changelog: DataFrame,
+    table_path: str,
+    cfg: ReplayConfig | None = None,
+) -> HadoopParquetSink:
+    """Replay an in-memory changelog DataFrame epoch by epoch (tests/bench).
+
+    Epoch boundaries still matter (commit granularity), so the frame is
+    split per epoch with pruned filters.
+    """
+    cfg = cfg or ReplayConfig()
+    sink = HadoopParquetSink(spark, table_path, n_buckets=cfg.n_buckets)
+    if not sink.exists():
+        sink.create(TableSchema.from_struct(TARGET_SCHEMA))
+    epochs = sorted(r["epoch"] for r in changelog.select("epoch").distinct().collect())
+    last = sink.last_committed_epoch()
+    for e in [e for e in epochs if e > last]:
+        batch = changelog.where(F.col("epoch") == e)
+        process_epoch(spark, sink, batch, e, cfg)
+    return sink

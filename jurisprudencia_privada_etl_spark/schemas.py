@@ -1,0 +1,172 @@
+"""Table schemas and the epoch-scoped schema-evolution manifest.
+
+Authoritative shapes (SURVEY.md §1.3, BASELINE.json input_hint):
+
+changelog(epoch BIGINT, ordinal BIGINT, op STRING, repo STRING, path STRING,
+          commit STRING, lang STRING, content STRING)        partitioned by epoch
+target  (repo STRING, path STRING, commit STRING, lang STRING, content STRING)
+          primary key (repo, path)
+          + bookkeeping: ordinal BIGINT, content_sha STRING = sha2(content, 256)
+
+The reference's schema is dynamic (PartialJurisprudenciaDocument, typed only
+by the ES mapping — reference src/report/report.ts:14-21); here schemas are
+explicit StructTypes and evolution is a first-class, epoch-scoped operation
+(SURVEY.md §2.8 T6).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import types as T
+
+OP_INSERT = "I"
+OP_UPDATE = "U"
+OP_DELETE = "D"
+
+KEY_COLUMNS = ["repo", "path"]
+ORDINAL_COLUMN = "ordinal"
+
+CHANGELOG_SCHEMA = T.StructType(
+    [
+        T.StructField("epoch", T.LongType(), False),
+        T.StructField("ordinal", T.LongType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("commit", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("content", T.StringType(), True),
+    ]
+)
+
+TARGET_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("commit", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("content", T.StringType(), True),
+    ]
+)
+
+# Bookkeeping columns the sink maintains alongside the payload.
+BOOKKEEPING_COLUMNS = ["ordinal", "content_sha"]
+
+
+@dataclass(frozen=True)
+class ColumnSpec:
+    """A column with a stable id — renames keep the id (Iceberg-style)."""
+
+    col_id: int
+    name: str
+    dtype: str  # Spark simpleString, e.g. "string", "bigint", "int"
+
+    def to_json(self) -> dict:
+        return {"id": self.col_id, "name": self.name, "type": self.dtype}
+
+    @staticmethod
+    def from_json(d: dict) -> "ColumnSpec":
+        return ColumnSpec(int(d["id"]), d["name"], d["type"])
+
+
+@dataclass
+class TableSchema:
+    """Ordered column list with stable ids; supports add/rename evolution.
+
+    The emulated lake sink has no Iceberg column-id tracking for free, so it
+    is carried here explicitly (SURVEY.md §7.3 item 5): a rename maps an
+    existing id to a new name; an add allocates a fresh id.  Data files are
+    written with the names current at write time; readers map file columns
+    back to current names by id via the per-snapshot name history.
+    """
+
+    columns: list[ColumnSpec] = field(default_factory=list)
+
+    @staticmethod
+    def from_struct(st: T.StructType) -> "TableSchema":
+        return TableSchema(
+            [ColumnSpec(i + 1, f.name, f.dataType.simpleString()) for i, f in enumerate(st.fields)]
+        )
+
+    def names(self) -> list[str]:
+        return [c.name for c in self.columns]
+
+    def next_id(self) -> int:
+        return max((c.col_id for c in self.columns), default=0) + 1
+
+    def add_column(self, name: str, dtype: str) -> None:
+        if name in self.names():
+            return  # idempotent: re-applying an epoch's evolution is a no-op
+        self.columns.append(ColumnSpec(self.next_id(), name, dtype))
+
+    def rename_column(self, old: str, new: str) -> None:
+        names = self.names()
+        if old not in names:
+            if new in names:
+                return  # already applied (idempotent re-run)
+            raise ValueError(f"rename: no column {old!r} in {names}")
+        self.columns = [
+            ColumnSpec(c.col_id, new, c.dtype) if c.name == old else c for c in self.columns
+        ]
+
+    def to_struct(self) -> T.StructType:
+        return T.StructType(
+            [T.StructField(c.name, _parse_type(c.dtype), True) for c in self.columns]
+        )
+
+    def to_json(self) -> list[dict]:
+        return [c.to_json() for c in self.columns]
+
+    @staticmethod
+    def from_json(cols: list[dict]) -> "TableSchema":
+        return TableSchema([ColumnSpec.from_json(c) for c in cols])
+
+
+def _parse_type(s: str) -> T.DataType:
+    # Covers the scalar types the engine uses; complex types go through DDL.
+    simple = {
+        "string": T.StringType(),
+        "bigint": T.LongType(),
+        "long": T.LongType(),
+        "int": T.IntegerType(),
+        "integer": T.IntegerType(),
+        "double": T.DoubleType(),
+        "float": T.FloatType(),
+        "boolean": T.BooleanType(),
+        "date": T.DateType(),
+        "timestamp": T.TimestampType(),
+        "binary": T.BinaryType(),
+    }
+    if s in simple:
+        return simple[s]
+    return T._parse_datatype_string(s)  # arrays/structs/maps via DDL string
+
+
+@dataclass(frozen=True)
+class SchemaChange:
+    """One evolution step attached to an epoch (applied BEFORE its merge)."""
+
+    kind: str  # "add" | "rename"
+    name: str  # new column name (add) / old name (rename)
+    dtype: str | None = None  # for add
+    new_name: str | None = None  # for rename
+
+    def to_json(self) -> dict:
+        return {"kind": self.kind, "name": self.name, "dtype": self.dtype, "new_name": self.new_name}
+
+    @staticmethod
+    def from_json(d: dict) -> "SchemaChange":
+        return SchemaChange(d["kind"], d["name"], d.get("dtype"), d.get("new_name"))
+
+
+def apply_changes(schema: TableSchema, changes: list[SchemaChange]) -> TableSchema:
+    out = TableSchema(list(schema.columns))
+    for ch in changes:
+        if ch.kind == "add":
+            out.add_column(ch.name, ch.dtype or "string")
+        elif ch.kind == "rename":
+            out.rename_column(ch.name, ch.new_name or ch.name)
+        else:
+            raise ValueError(f"unknown schema change kind {ch.kind!r}")
+    return out

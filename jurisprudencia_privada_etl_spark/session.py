@@ -1,0 +1,55 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The engine targets multi-executor clusters (spark-submit --py-files); in the
+sandbox it runs local[N].  All settings below are plain public Spark confs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that matter at 100 TB and are harmless at test scale:
+#  - AQE on: runtime partition coalescing + skew-join splitting.
+#  - Arrow on: every pandas UDF / mapInPandas stage moves columnar batches.
+#  - shuffle.partitions: sized for the sandbox; on a real cluster this is
+#    set by spark-submit (or left to AQE's coalescing from a high initial).
+_DEFAULTS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.shuffle.partitions": "32",
+    "spark.driver.memory": "8g",
+    # Parquet scans: vectorized reader + filter pushdown are on by default in
+    # Spark 4.x; kept explicit because the bench relies on them.
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "jurisprudencia-etl-spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS or *]`` in the sandbox;
+    under spark-submit on a cluster the master comes from the submit command
+    and this argument is left None.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_GRAFT_CPUS" in os.environ:
+        master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
+    if master is not None:
+        builder = builder.master(master)
+    conf = dict(_DEFAULTS)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,36 @@
+"""Changelog storage: epoch-partitioned parquet with pruned epoch reads.
+
+The reference resumes its delta walk from a saved ``next_link``/``delta_link``
+token (src/sharepoint/sharepoint.ts:149, 408).  Here the source of truth is an
+epoch-partitioned table; "resume" = read only epochs beyond the manifest's
+``last_committed_epoch``.  Partitioning by ``epoch`` makes that a partition-
+pruned scan (SURVEY.md §4 P1): ``WHERE epoch = E`` touches exactly one
+directory, regardless of total changelog size — the property that keeps a
+10^10-event changelog tail O(epoch), not O(history).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_changelog(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Persist a changelog partitioned by epoch (hive-style directories)."""
+    df.write.mode(mode).partitionBy("epoch").parquet(path)
+
+
+def read_epoch(spark: SparkSession, path: str, epoch: int) -> DataFrame:
+    """Partition-pruned scan of a single epoch."""
+    return spark.read.parquet(path).where(F.col("epoch") == epoch)
+
+
+def read_epochs_after(spark: SparkSession, path: str, last_committed: int) -> DataFrame:
+    """All pending epochs (> last_committed) — still partition-pruned."""
+    return spark.read.parquet(path).where(F.col("epoch") > last_committed)
+
+
+def list_epochs(spark: SparkSession, path: str) -> list[int]:
+    """Distinct epochs present, ascending.  Reads partition values only."""
+    rows = spark.read.parquet(path).select("epoch").distinct().collect()
+    return sorted(r["epoch"] for r in rows)
