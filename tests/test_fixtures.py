@@ -1,0 +1,204 @@
+"""Scenario fixtures mandated by BASELINE.json:6 (FIXTURES.md §3):
+out-of-order events, tombstones (+ resurrection), schema-evolution epochs,
+mid-epoch restart exactly-once, salted ≡ unsalted."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from jurisprudencia_privada_etl_spark.plans.replay import (
+    ReplayConfig,
+    process_epoch,
+    replay_dataframe,
+)
+from jurisprudencia_privada_etl_spark.plans.sink import HadoopParquetSink
+from jurisprudencia_privada_etl_spark.schemas import (
+    CHANGELOG_SCHEMA,
+    SchemaChange,
+    TableSchema,
+    TARGET_SCHEMA,
+)
+from jurisprudencia_privada_etl_spark.sources.generator import synthetic_changelog
+
+from tests.conftest import assert_state_equal, oracle_reduce, sha256_hex
+
+PAYLOAD = ["repo", "path", "commit", "lang", "content", "ordinal", "content_sha"]
+
+
+def make_log(spark, rows):
+    """rows: (epoch, ordinal, op, repo, path, commit, lang, content)"""
+    return spark.createDataFrame(rows, schema=CHANGELOG_SCHEMA)
+
+
+def state(sink) -> pd.DataFrame:
+    return sink.load().select(*PAYLOAD).toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+
+
+def test_out_of_order_within_epoch(spark, tmp_path):
+    """Lower ordinal arriving AFTER a higher one must lose."""
+    rows = [
+        (0, 5, "I", "r1", "a.py", "c5", "py", "NEWEST"),
+        (0, 1, "I", "r1", "a.py", "c1", "py", "old"),
+        (0, 3, "U", "r1", "a.py", "c3", "py", "middle"),
+        (0, 2, "I", "r1", "b.py", "c2", "py", "b-old"),
+        (0, 4, "U", "r1", "b.py", "c4", "py", "B-NEW"),
+    ]
+    sink = replay_dataframe(spark, make_log(spark, rows), str(tmp_path / "t"))
+    s = state(sink)
+    assert dict(zip(s["path"], s["content"])) == {"a.py": "NEWEST", "b.py": "B-NEW"}
+    assert dict(zip(s["path"], s["content_sha"])) == {
+        "a.py": sha256_hex("NEWEST"),
+        "b.py": sha256_hex("B-NEW"),
+    }
+
+
+def test_tombstone_delete_and_resurrect(spark, tmp_path):
+    """op='D' removes the key; a later re-insert at higher ordinal
+    resurrects it (upgrades the reference TODO at sharepoint.ts:428)."""
+    rows = [
+        (0, 1, "I", "r1", "dead.py", "c1", "py", "will die"),
+        (0, 2, "I", "r1", "alive.py", "c2", "py", "stays"),
+        (1, 3, "D", "r1", "dead.py", "c3", "py", None),
+        (1, 4, "D", "r1", "ghost.py", "c4", "py", None),  # tombstone for absent key
+        (2, 5, "I", "r1", "dead.py", "c5", "py", "resurrected"),
+    ]
+    sink = replay_dataframe(spark, make_log(spark, rows), str(tmp_path / "t"))
+    s = state(sink)
+    assert dict(zip(s["path"], s["content"])) == {"alive.py": "stays", "dead.py": "resurrected"}
+
+
+def test_delete_wins_within_epoch(spark, tmp_path):
+    """A tombstone that is the max-ordinal event of its key within an epoch
+    deletes, even when the insert arrives after it."""
+    rows = [
+        (0, 2, "D", "r1", "x.py", "c2", "py", None),
+        (0, 1, "I", "r1", "x.py", "c1", "py", "born dead"),
+    ]
+    sink = replay_dataframe(spark, make_log(spark, rows), str(tmp_path / "t"))
+    assert len(state(sink)) == 0
+
+
+def test_cross_epoch_late_event_loses(spark, tmp_path):
+    """A late event in a LATER epoch with a LOWER ordinal than the target's
+    must not overwrite (WHEN MATCHED AND s.ordinal > t.ordinal)."""
+    rows0 = [(0, 10, "I", "r1", "a.py", "c10", "py", "current")]
+    rows1 = [(1, 4, "U", "r1", "a.py", "c4", "py", "stale straggler")]
+    path = str(tmp_path / "t")
+    sink = replay_dataframe(spark, make_log(spark, rows0), path)
+    sink = replay_dataframe(spark, make_log(spark, rows0 + rows1), path)  # applies epoch 1
+    s = state(sink)
+    assert list(s["content"]) == ["current"]
+    assert list(s["ordinal"]) == [10]
+
+
+def test_mid_epoch_restart_exactly_once(spark, tmp_path):
+    """Kill after the epoch's data files are written but before the manifest
+    publish; resume; final state must equal an uninterrupted run, no dupes,
+    no loss (T3; ref analog: resumable delta_link, sharepoint.ts:149,408)."""
+    log = synthetic_changelog(spark, 1200, seed=31, n_epochs=3, n_repos=6,
+                              paths_per_repo=50, pct_update=0.4, pct_delete=0.15)
+    pdf = log.toPandas()
+
+    # uninterrupted reference run
+    ref_sink = replay_dataframe(spark, log, str(tmp_path / "ref"))
+    ref = state(ref_sink)
+    assert_state_equal(ref, oracle_reduce(pdf))
+
+    # interrupted run: crash inside epoch 1's merge, after data write
+    path = str(tmp_path / "t")
+    cfg = ReplayConfig()
+    sink = HadoopParquetSink(spark, path)
+    sink.create(TableSchema.from_struct(TARGET_SCHEMA))
+    import pyspark.sql.functions as F
+
+    process_epoch(spark, sink, log.where(F.col("epoch") == 0), 0, cfg)
+    sink.crash_before_publish = True
+    with pytest.raises(RuntimeError, match="injected crash"):
+        process_epoch(spark, sink, log.where(F.col("epoch") == 1), 1, cfg)
+    assert sink.last_committed_epoch() == 0  # manifest unchanged by the crash
+
+    # resume: fresh sink object (new process), full replay loop
+    resumed = replay_dataframe(spark, log, path)
+    assert resumed.last_committed_epoch() == 2
+    assert_state_equal(state(resumed), ref)
+
+
+def test_reapplying_committed_epoch_is_noop(spark, tmp_path):
+    rows = [(0, 1, "I", "r1", "a.py", "c1", "py", "v1")]
+    path = str(tmp_path / "t")
+    sink = replay_dataframe(spark, make_log(spark, rows), path)
+    v = sink.manifest().version
+    # a duplicate delivery of epoch 0 (e.g. reprocessed upstream) is skipped
+    res = process_epoch(spark, sink, make_log(spark, rows), 0, ReplayConfig())
+    assert res.get("skipped") is True
+    assert sink.manifest().version == v
+
+
+def test_schema_evolution_add_and_rename(spark, tmp_path):
+    """Epoch 1 adds `stars INT`; epoch 2 renames lang→language.  Rows written
+    before the evolution read back with nulls / renamed values intact, no
+    data rewrite (id-based mapping)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    path = str(tmp_path / "t")
+    cfg = ReplayConfig(
+        schema_evolution={
+            1: [SchemaChange("add", "stars", dtype="int")],
+            2: [SchemaChange("rename", "lang", new_name="language")],
+        }
+    )
+    sink = HadoopParquetSink(spark, path)
+    sink.create(TableSchema.from_struct(TARGET_SCHEMA))
+
+    e0 = make_log(spark, [(0, 1, "I", "r1", "a.py", "c1", "py", "v1"),
+                          (0, 2, "I", "r1", "b.py", "c2", "ts", "v2")])
+    process_epoch(spark, sink, e0, 0, cfg)
+
+    ev_schema = T.StructType(list(CHANGELOG_SCHEMA.fields) + [T.StructField("stars", T.IntegerType(), True)])
+    e1 = spark.createDataFrame([(1, 3, "I", "r1", "c.py", "c3", "go", "v3", 7)], schema=ev_schema)
+    process_epoch(spark, sink, e1, 1, cfg)
+
+    e2 = spark.createDataFrame([(2, 4, "U", "r1", "a.py", "c4", "py", "v1-new", 9)], schema=ev_schema)
+    process_epoch(spark, sink, e2, 2, cfg)
+
+    out = sink.load().orderBy("path").toPandas()
+    assert list(sink.manifest().schema.names()) == ["repo", "path", "commit", "language", "content", "stars"]
+    assert list(out["path"]) == ["a.py", "b.py", "c.py"]
+    # pre-evolution row b.py: stars null, lang value visible under new name
+    b = out[out["path"] == "b.py"].iloc[0]
+    assert pd.isna(b["stars"]) and b["language"] == "ts"
+    c = out[out["path"] == "c.py"].iloc[0]
+    assert c["stars"] == 7 and c["language"] == "go"
+    a = out[out["path"] == "a.py"].iloc[0]
+    assert a["stars"] == 9 and a["content"] == "v1-new"
+    assert a["content_sha"] == sha256_hex("v1-new")
+
+
+def test_evolution_is_idempotent_after_crash(spark, tmp_path):
+    """Crash between evolve() and merge(): re-running the epoch re-applies
+    the evolution as a no-op and completes."""
+    path = str(tmp_path / "t")
+    cfg = ReplayConfig(schema_evolution={0: [SchemaChange("add", "stars", dtype="int")]})
+    sink = HadoopParquetSink(spark, path)
+    sink.create(TableSchema.from_struct(TARGET_SCHEMA))
+    sink.evolve(cfg.schema_evolution[0])  # simulate: evolved, then crashed
+    v = sink.manifest().version
+    rows = [(0, 1, "I", "r1", "a.py", "c1", "py", "v1")]
+    process_epoch(spark, sink, make_log(spark, rows), 0, cfg)
+    m = sink.manifest()
+    assert m.last_committed_epoch == 0
+    assert "stars" in m.schema.names()
+    # the re-applied evolution did not mint a new schema version
+    assert m.version == v + 1  # only the merge bumped
+
+
+def test_salted_equals_unsalted(spark, tmp_path):
+    """Heavily skewed changelog: salted pipeline ≡ unsalted, bit-for-bit
+    (SURVEY.md §7.3 item 4)."""
+    log = synthetic_changelog(spark, 2000, seed=13, n_epochs=2, n_repos=3,
+                              paths_per_repo=30, skew=8.0, pct_update=0.5, pct_delete=0.1)
+    salted = replay_dataframe(spark, log, str(tmp_path / "s"), ReplayConfig(n_salts=16))
+    unsalted = replay_dataframe(spark, log, str(tmp_path / "u"), ReplayConfig(n_salts=1))
+    assert_state_equal(state(salted), state(unsalted))
