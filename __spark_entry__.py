@@ -1,38 +1,41 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``   — flagship CDC replay on sf0.001 through the real sink
+              (salt → Arrow extraction → LWW → bucketed MERGE → manifest),
+              returning the converged table.
+``queries`` — one entry per implemented operator (SURVEY.md §2); see
+              jurisprudencia_privada_etl_spark/queries.py.
+``oracle_sql`` — DuckDB-equivalent SQL per query (omitted for ops whose
+              semantics depend on engine-internal hash functions; those get
+              rows-only checks plus dedicated pytest coverage).
 """
 
 from __future__ import annotations
 
+import shutil
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from jurisprudencia_privada_etl_spark.plans.replay import ReplayConfig, replay_dataframe
+from jurisprudencia_privada_etl_spark.queries import ORACLES, QUERIES, derived_changelog
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: replay the changelog derived from sf0.001 events through the
+    full pipeline into a fresh lake table; return the converged state."""
+    sf_dir = "/root/testdata/sf0.001"
+    log = derived_changelog(spark, sf_dir)
+    table = tempfile.mkdtemp(prefix="jurisprudencia_etl_entry_")
+    shutil.rmtree(table, ignore_errors=True)
+    sink = replay_dataframe(spark, log, table, ReplayConfig(n_buckets=16))
+    return sink.load().select("repo", "path", "commit", "lang", "content", "ordinal", "content_sha")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

@@ -1,0 +1,771 @@
+"""Driver-contract query catalog (SURVEY.md §2 coverage).
+
+Each entry pairs a Spark DataFrame implementation with an equivalent DuckDB
+SQL oracle over the same parquet tables (/root/testdata/sf*/).  Column names
+are aliased identically on both sides; numeric outputs are integers (or
+values derived from integers) wherever floating-point summation order could
+differ between engines.
+
+The ``events`` table doubles as the stand-in CDC changelog (FIXTURES.md §4):
+``derived_changelog`` maps it deterministically onto the engine's changelog
+shape, with the SAME derivation written once as Spark expressions and once as
+the ``CHANGELOG_CTE`` SQL string.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from jurisprudencia_privada_etl_spark.functions.paths import date_from_path, first_match_map
+from jurisprudencia_privada_etl_spark.functions.textstats import (
+    STOPWORDS,
+    doc_fingerprint,
+    lang_id,
+    subword_count,
+    token_count,
+)
+from jurisprudencia_privada_etl_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup,
+    ngram_jaccard_pairs,
+    simhash_dedup,
+)
+from jurisprudencia_privada_etl_spark.operators.lww import lww_dedup
+from jurisprudencia_privada_etl_spark.operators.multimodal import extract_features, synthetic_assets
+from jurisprudencia_privada_etl_spark.operators.reconcile import missing_keys
+from jurisprudencia_privada_etl_spark.operators.similarity import dot, l2_norm, lsh_topk
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# derived changelog: events → (epoch, ordinal, op, repo, path, commit, lang, content)
+# ---------------------------------------------------------------------------
+
+def derived_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        F.pmod(F.col("event_id"), F.lit(4)).alias("epoch"),
+        F.col("event_id").alias("ordinal"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .when(F.col("event_type") == "purchase", F.lit("U"))
+        .otherwise(F.lit("I"))
+        .alias("op"),
+        F.concat(F.lit("r"), F.pmod(F.col("user_id"), F.lit(13)).cast("string")).alias("repo"),
+        F.concat(
+            F.lit("src/f"), F.pmod(F.col("event_id"), F.lit(297)).cast("string"), F.lit(".py")
+        ).alias("path"),
+        F.col("event_id").cast("string").alias("commit"),
+        F.col("event_type").alias("lang"),
+        F.concat(
+            F.col("props"), F.lit("#"), F.pmod(F.col("event_id"), F.lit(7)).cast("string")
+        ).alias("content"),
+    )
+
+
+CHANGELOG_CTE = """
+changelog AS (
+    SELECT
+        event_id % 4                                          AS epoch,
+        event_id                                              AS ordinal,
+        CASE WHEN event_type = 'error' THEN 'D'
+             WHEN event_type = 'purchase' THEN 'U'
+             ELSE 'I' END                                     AS op,
+        'r' || CAST(user_id % 13 AS VARCHAR)                  AS repo,
+        'src/f' || CAST(event_id % 297 AS VARCHAR) || '.py'   AS path,
+        CAST(event_id AS VARCHAR)                             AS commit,
+        event_type                                            AS lang,
+        props || '#' || CAST(event_id % 7 AS VARCHAR)         AS content
+    FROM events
+)
+"""
+
+
+def _lww_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Converged final state of the derived changelog (LWW + tombstones)."""
+    log = derived_changelog(spark, sf_dir)
+    return lww_dedup(log, ["repo", "path"], "ordinal").where(F.col("op") != "D")
+
+
+LWW_STATE_CTE = f"""
+WITH {CHANGELOG_CTE},
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY ordinal DESC) AS rn
+    FROM changelog
+),
+state AS (
+    SELECT repo, path, ordinal, commit, lang, content
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_cdc_lww_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship (W1+T5): converged state with the sha256(content) invariant."""
+    return _lww_state(spark, sf_dir).select(
+        "repo", "path", "ordinal", "content",
+        F.sha2(F.col("content"), 256).alias("content_sha"),
+    )
+
+
+SQL_CDC_LWW_REPLAY = LWW_STATE_CTE + """
+SELECT repo, path, ordinal, content, sha256(content) AS content_sha FROM state
+"""
+
+
+def q_lww_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 on the raw events table: latest event per user by event_id."""
+    e = _t(spark, sf_dir, "events")
+    return lww_dedup(e, ["user_id"], "event_id").select(
+        "user_id", "event_id", "event_type", "value"
+    )
+
+
+SQL_LWW_LATEST_EVENT = """
+SELECT user_id, event_id, event_type, value FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn FROM events
+) WHERE rn = 1
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: top-3 events per event_type by (value desc, event_id)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        e.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("event_type", "event_id", "rank")
+    )
+
+
+SQL_TOPK_PER_GROUP = """
+SELECT event_type, event_id, rank FROM (
+    SELECT event_type, event_id,
+           row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rank
+    FROM events
+) WHERE rank <= 3
+"""
+
+
+def q_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: fact⋈small-dim with an explicit broadcast hint."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("sum_cents"),
+        )
+    )
+
+
+SQL_BROADCAST_DIM_JOIN = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS sum_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_theta_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: broadcast nested-loop containment join (instr > 0), the analog of
+    the reference's filename→process-key fuzzy match (sharepoint.ts:585-593)."""
+    e = _t(spark, sf_dir, "events")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        e.join(F.broadcast(n), F.instr(e["props"], n["n_nationkey"].cast("string")) > 0)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_matches"))
+    )
+
+
+SQL_THETA_CONTAINMENT_JOIN = """
+SELECT n_name, COUNT(*) AS n_matches
+FROM events JOIN nation ON instr(props, CAST(n_nationkey AS VARCHAR)) > 0
+GROUP BY n_name
+"""
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 (left_anti): customers with no orders, counted per segment."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+SQL_ANTI_JOIN = """
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 (left_semi): customers with at least one order, per nation."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+SQL_SEMI_JOIN = """
+SELECT c_nationkey, COUNT(*) AS n_customers
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+"""
+
+
+def q_arrays_overlap_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 residual shape: set-overlap predicate on tokenized names."""
+    p = _t(spark, sf_dir, "part")
+    words = F.split(F.col("p_name"), " ")
+    return (
+        p.where(F.arrays_overlap(words, F.array(F.lit("blue"), F.lit("red"))))
+        .groupBy("p_type")
+        .agg(F.count("*").alias("n_parts"))
+    )
+
+
+SQL_ARRAYS_OVERLAP_FILTER = """
+SELECT p_type, COUNT(*) AS n_parts
+FROM part
+WHERE list_has_any(string_split(p_name, ' '), ['blue', 'red'])
+GROUP BY p_type
+"""
+
+
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2-O4: union/intersect/except/remove as set-size scalars."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    a = F.slice(toks, 1, 6)
+    b = F.slice(toks, 4, 6)
+    return d.select(
+        "doc_id",
+        F.size(F.array_distinct(F.concat(a, b))).alias("n_union"),
+        F.size(F.array_intersect(a, b)).alias("n_inter"),
+        F.size(F.array_except(a, b)).alias("n_except"),
+        F.size(F.array_remove(toks, "table")).alias("n_removed"),
+    )
+
+
+SQL_ARRAY_OPS = """
+WITH t AS (
+    SELECT doc_id,
+           list_slice(string_split(text, ' '), 1, 6) AS a,
+           list_slice(string_split(text, ' '), 4, 9) AS b,
+           string_split(text, ' ') AS toks
+    FROM documents
+)
+SELECT doc_id,
+       len(list_distinct(list_concat(a, b)))                                   AS n_union,
+       len(list_distinct(list_filter(a, x -> list_contains(b, x))))            AS n_inter,
+       len(list_distinct(list_filter(a, x -> NOT list_contains(b, x))))        AS n_except,
+       len(list_filter(toks, x -> x <> 'table'))                               AS n_removed
+FROM t
+"""
+
+
+def q_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: dd/MM/yyyy edge formatting (aux.ts:53) + date parts."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "dd/MM/yyyy").alias("data_pt"),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+    )
+
+
+SQL_DATE_FORMAT = """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%d/%m/%Y') AS data_pt,
+       CAST(EXTRACT(year FROM o_orderdate) AS INT)  AS yr,
+       CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo
+FROM orders
+"""
+
+
+def q_sha2_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9: the per-row content invariant."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", F.sha2(F.col("text"), 256).alias("content_sha"))
+
+
+SQL_SHA2_INVARIANT = "SELECT doc_id, sha256(text) AS content_sha FROM documents"
+
+
+def q_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8/X19: wrap lines in HTML then strip-tags round trip."""
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(F.lit("<p><font>"), F.col("text"), F.lit("</font><br>"))
+    stripped = F.regexp_replace(html, "<[^>]*>", "")
+    return d.select(
+        "doc_id",
+        F.length(html).alias("html_len"),
+        F.length(stripped).alias("text_len"),
+        (F.trim(stripped) == "").alias("is_empty"),
+    )
+
+
+SQL_STRIP_HTML = """
+SELECT doc_id,
+       CAST(length('<p><font>' || text || '</font><br>') AS INT) AS html_len,
+       CAST(length(regexp_replace('<p><font>' || text || '</font><br>', '<[^>]*>', '', 'g')) AS INT) AS text_len,
+       trim(regexp_replace('<p><font>' || text || '</font><br>', '<[^>]*>', '', 'g')) = '' AS is_empty
+FROM documents
+"""
+
+
+def q_agg_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: per-kind run counters (created/updated/deleted analog)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sum_cents"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
+SQL_AGG_COUNTERS = """
+SELECT event_type,
+       COUNT(*) AS n,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_cents,
+       COUNT(DISTINCT user_id) AS n_users,
+       MIN(event_id) AS min_id,
+       MAX(event_id) AS max_id
+FROM events GROUP BY event_type
+"""
+
+
+def q_lineage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/T10: per-epoch applied-event + byte metrics of the derived changelog."""
+    log = derived_changelog(spark, sf_dir)
+    return log.groupBy("epoch").agg(
+        F.count("*").alias("events"),
+        F.sum(F.when(F.col("op") == "I", 1).otherwise(0)).alias("inserts"),
+        F.sum(F.when(F.col("op") == "U", 1).otherwise(0)).alias("updates"),
+        F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("deletes"),
+        F.sum(F.length("content")).alias("bytes"),
+    )
+
+
+SQL_LINEAGE_COUNTS = f"""
+WITH {CHANGELOG_CTE}
+SELECT epoch,
+       COUNT(*) AS events,
+       SUM(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS inserts,
+       SUM(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS updates,
+       SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS deletes,
+       SUM(length(content)) AS bytes
+FROM changelog GROUP BY epoch
+"""
+
+
+def q_distinct_folders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: distinct touched folders of the delta (sharepoint.ts:414,433-435)."""
+    log = derived_changelog(spark, sf_dir)
+    folder = F.substring_index("path", "/", 1)
+    return log.select(folder.alias("folder")).distinct()
+
+
+SQL_DISTINCT_FOLDERS = f"""
+WITH {CHANGELOG_CTE}
+SELECT DISTINCT string_split(path, '/')[1] AS folder FROM changelog
+"""
+
+
+def q_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 analog: grouped, deterministically-ordered collected keys."""
+    e = _t(spark, sf_dir, "events")
+    buck = F.pmod(F.col("user_id"), F.lit(7)).cast("string")
+    return (
+        e.select("event_type", buck.alias("b"))
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.array_join(F.array_sort(F.collect_list("b")), ",").alias("buckets"))
+    )
+
+
+SQL_GROUP_CONCAT = """
+SELECT event_type, string_agg(b, ',' ORDER BY b) AS buckets
+FROM (SELECT DISTINCT event_type, CAST(user_id % 7 AS VARCHAR) AS b FROM events)
+GROUP BY event_type
+"""
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over a doubled corpus: one survivor per content hash."""
+    d = _t(spark, sf_dir, "documents")
+    doubled = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    out = exact_dedup(doubled, "text", "doc_id")
+    return out.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("min_id")
+    )
+
+
+SQL_EXACT_DEDUP = """
+WITH doubled AS (
+    SELECT * FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars FROM documents
+),
+keep AS (
+    SELECT MIN(doc_id) AS doc_id FROM doubled GROUP BY sha256(text)
+)
+SELECT source, COUNT(*) AS n_docs, MIN(doc_id) AS min_id
+FROM doubled WHERE doc_id IN (SELECT doc_id FROM keep)
+GROUP BY source
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-overlap pair stats on a bounded corpus slice (ints only)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 80)
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.0)
+    return pairs.select(
+        "id_a", "id_b", (F.col("jaccard") > 0).alias("overlaps")
+    ).where(F.col("overlaps"))
+
+
+SQL_NGRAM_JACCARD = """
+WITH d AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+           FROM documents WHERE doc_id < 80),
+sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               range(1, greatest(len(toks) - 1, 1) + CASE WHEN len(toks) >= 3 THEN 0 ELSE 1 END),
+               i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS s
+    FROM d
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, TRUE AS overlaps
+FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+"""
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for the first 5 vectors.
+
+    The cosine is computed as an in-order double fold on both sides so the
+    ranking is bit-identical; only ranks are emitted (floats stay internal).
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qvec")
+    )
+    dvec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dq = F.transform(F.col("_qvec"), lambda x: x.cast("double"))
+    scored = emb.crossJoin(F.broadcast(q)).where(F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        "vec_id",
+        (dot(dvec, dq) / (l2_norm(dvec) * l2_norm(dq))).alias("_cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "vec_id", "rank")
+    )
+
+
+SQL_EMBEDDING_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+scored AS (
+    SELECT q.query_id, e.vec_id,
+           list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+            * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(q.qvec[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE))))) AS cos
+    FROM embeddings e, q WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, rank FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+    FROM scored
+) WHERE rank <= 5
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + per-language stopword hit counts (all ints)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+
+    def hits(lang: str):
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        return F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        subword_count("text").alias("n_subwords"),
+        hits("en").alias("sw_en"),
+        hits("pt").alias("sw_pt"),
+    )
+
+
+_SW_EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+_SW_PT = ", ".join(f"'{w}'" for w in STOPWORDS["pt"])
+
+SQL_TEXT_QUALITY = f"""
+WITH t AS (SELECT doc_id, text,
+                  list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+           FROM documents)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_subwords,
+       len(list_filter(toks, x -> x IN ({_SW_EN}))) AS sw_en,
+       len(list_filter(toks, x -> x IN ({_SW_PT}))) AS sw_pt
+FROM t
+"""
+
+
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag + bounded rolling sum per user (integer cents)."""
+    e = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    wr = w.rowsBetween(-2, 0)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.lag("event_type", 1).over(w).alias("prev_type"),
+        F.sum(cents).over(wr).alias("roll_cents"),
+    )
+
+
+SQL_WINDOW_ANALYTICS = """
+SELECT user_id, event_id,
+       lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+       ) AS roll_cents
+FROM events
+"""
+
+
+def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup aggregation (free via Catalyst, SURVEY.md §2.4)."""
+    e = _t(spark, sf_dir, "events")
+    return e.rollup("event_type").agg(F.count("*").alias("n"))
+
+
+SQL_ROLLUP_COUNTS = "SELECT event_type, COUNT(*) AS n FROM events GROUP BY ROLLUP(event_type)"
+
+
+def q_date_from_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 round trip: build a dated path, extract the date back."""
+    o = _t(spark, sf_dir, "orders")
+    path = F.concat(
+        F.lit("docs/"), F.date_format("o_orderdate", "dd-MM-yyyy"), F.lit("/f.pdf")
+    )
+    return o.select(
+        "o_orderkey",
+        path.alias("path"),
+        date_from_path(path, default_year=2026).alias("extracted"),
+    )
+
+
+SQL_DATE_FROM_PATH = """
+SELECT o_orderkey,
+       'docs/' || strftime(o_orderdate, '%d-%m-%Y') || '/f.pdf' AS path,
+       CAST(o_orderdate AS DATE) AS extracted
+FROM orders
+"""
+
+
+AREA_MAP = [("f1", "um"), ("f2", "dois"), ("f3", "tres")]
+
+
+def q_first_match_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: ordered first-contains-match dictionary (sharepoint.ts:485-497)."""
+    log = derived_changelog(spark, sf_dir)
+    return (
+        log.select(first_match_map("path", AREA_MAP, default="outros").alias("area"))
+        .groupBy("area")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_FIRST_MATCH_MAP = f"""
+WITH {CHANGELOG_CTE}
+SELECT CASE WHEN instr(lower(path), 'f1') > 0 THEN 'um'
+            WHEN instr(lower(path), 'f2') > 0 THEN 'dois'
+            WHEN instr(lower(path), 'f3') > 0 THEN 'tres'
+            ELSE 'outros' END AS area,
+       COUNT(*) AS n
+FROM changelog GROUP BY 1
+"""
+
+
+def q_complementary_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 shape: equi-join on (user, day) + residual predicate — the
+    complementary-document match (sharepoint.ts:61-100)."""
+    e = _t(spark, sf_dir, "events")
+    a = e.where(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("u"), F.to_date("ts").alias("d"), F.col("event_id").alias("id_a")
+    )
+    b = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"), F.to_date("ts").alias("d"), F.col("event_id").alias("id_b")
+    )
+    return (
+        a.join(b, ["u", "d"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("u")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+SQL_COMPLEMENTARY_PAIRS = """
+SELECT a.user_id AS u, COUNT(*) AS n_pairs
+FROM (SELECT user_id, CAST(ts AS DATE) d, event_id FROM events WHERE event_type = 'signup') a
+JOIN (SELECT user_id, CAST(ts AS DATE) d, event_id FROM events WHERE event_type = 'click') b
+  ON a.user_id = b.user_id AND a.d = b.d AND a.event_id < b.event_id
+GROUP BY a.user_id
+"""
+
+
+def q_reconcile_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/J4: keys the changelog mentions that are absent from the converged
+    state (i.e. last op was a tombstone) — the repair scan."""
+    log = derived_changelog(spark, sf_dir)
+    live = _lww_state(spark, sf_dir)
+    return missing_keys(log, live)
+
+
+SQL_RECONCILE_MISSING = LWW_STATE_CTE + """
+SELECT DISTINCT c.repo, c.path
+FROM changelog c
+WHERE NOT EXISTS (SELECT 1 FROM state s WHERE s.repo = c.repo AND s.path = c.path)
+"""
+
+
+# -- rows-only queries (hash functions differ across engines → no SQL oracle) --
+
+def q_minhash_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    doubled = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    out = minhash_dedup(doubled, "text", "doc_id", threshold=0.9, num_hashes=32, bands=16)
+    return out.agg(F.count("*").alias("n_docs"))
+
+
+def q_simhash_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    doubled = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    out = simhash_dedup(doubled, "text", "doc_id", max_hamming=3)
+    return out.agg(F.count("*").alias("n_docs"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(lang_id("text").alias("lang")).groupBy("lang").agg(F.count("*").alias("n"))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    return lsh_topk(emb, q, k=5, n_planes=4, dim=64)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = synthetic_assets(spark, 200, seed=42)
+    return extract_features(assets).select("asset_id", "media_type", "n_bytes", "content_sha")
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "cdc_lww_replay": q_cdc_lww_replay,
+    "lww_latest_event_per_user": q_lww_latest_event_per_user,
+    "topk_per_group": q_topk_per_group,
+    "broadcast_dim_join": q_broadcast_dim_join,
+    "theta_containment_join": q_theta_containment_join,
+    "anti_join": q_anti_join,
+    "semi_join": q_semi_join,
+    "arrays_overlap_filter": q_arrays_overlap_filter,
+    "array_ops": q_array_ops,
+    "date_format": q_date_format,
+    "sha2_invariant": q_sha2_invariant,
+    "strip_html": q_strip_html,
+    "agg_counters": q_agg_counters,
+    "lineage_counts": q_lineage_counts,
+    "distinct_folders": q_distinct_folders,
+    "group_concat": q_group_concat,
+    "exact_dedup": q_exact_dedup,
+    "ngram_jaccard": q_ngram_jaccard,
+    "embedding_topk": q_embedding_topk,
+    "text_quality": q_text_quality,
+    "window_analytics": q_window_analytics,
+    "rollup_counts": q_rollup_counts,
+    "date_from_path": q_date_from_path,
+    "first_match_map": q_first_match_map,
+    "complementary_pairs": q_complementary_pairs,
+    "reconcile_missing": q_reconcile_missing,
+    # rows-only (hash-function-dependent or engine-internal):
+    "minhash_dedup_count": q_minhash_dedup_count,
+    "simhash_dedup_count": q_simhash_dedup_count,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "lsh_topk": q_lsh_topk,
+    "multimodal_features": q_multimodal_features,
+}
+
+ORACLES: dict[str, str] = {
+    "cdc_lww_replay": SQL_CDC_LWW_REPLAY,
+    "lww_latest_event_per_user": SQL_LWW_LATEST_EVENT,
+    "topk_per_group": SQL_TOPK_PER_GROUP,
+    "broadcast_dim_join": SQL_BROADCAST_DIM_JOIN,
+    "theta_containment_join": SQL_THETA_CONTAINMENT_JOIN,
+    "anti_join": SQL_ANTI_JOIN,
+    "semi_join": SQL_SEMI_JOIN,
+    "arrays_overlap_filter": SQL_ARRAYS_OVERLAP_FILTER,
+    "array_ops": SQL_ARRAY_OPS,
+    "date_format": SQL_DATE_FORMAT,
+    "sha2_invariant": SQL_SHA2_INVARIANT,
+    "strip_html": SQL_STRIP_HTML,
+    "agg_counters": SQL_AGG_COUNTERS,
+    "lineage_counts": SQL_LINEAGE_COUNTS,
+    "distinct_folders": SQL_DISTINCT_FOLDERS,
+    "group_concat": SQL_GROUP_CONCAT,
+    "exact_dedup": SQL_EXACT_DEDUP,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "embedding_topk": SQL_EMBEDDING_TOPK,
+    "text_quality": SQL_TEXT_QUALITY,
+    "window_analytics": SQL_WINDOW_ANALYTICS,
+    "rollup_counts": SQL_ROLLUP_COUNTS,
+    "date_from_path": SQL_DATE_FROM_PATH,
+    "first_match_map": SQL_FIRST_MATCH_MAP,
+    "complementary_pairs": SQL_COMPLEMENTARY_PAIRS,
+    "reconcile_missing": SQL_RECONCILE_MISSING,
+}
