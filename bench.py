@@ -1,0 +1,120 @@
+#!/usr/bin/env python3
+"""Benchmark harness.
+
+Headline: end-to-end CDC replay throughput (change-events/sec to converged
+lake state) on a deterministic synthetic changelog (BASELINE.json metric),
+plus per-query wall times for the driver-contract queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "replay": {...}}
+
+Env knobs: SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_SF_DIR,
+BENCH_EVENTS (changelog size, default 1_000_000), BENCH_SKIP_QUERIES=1.
+Scaling evidence (local[8] vs local[32]) is produced by
+scripts/bench_scaling.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from jurisprudencia_privada_etl_spark.plans.replay import ReplayConfig, replay  # noqa: E402
+from jurisprudencia_privada_etl_spark.queries import QUERIES  # noqa: E402
+from jurisprudencia_privada_etl_spark.session import get_spark  # noqa: E402
+from jurisprudencia_privada_etl_spark.sources.changelog import write_changelog  # noqa: E402
+from jurisprudencia_privada_etl_spark.sources.generator import synthetic_changelog  # noqa: E402
+
+
+def force(df) -> int:
+    """Execute fully on executors without driver-side collect."""
+    return df.write.mode("overwrite").format("noop").save() or 0
+
+
+def bench_replay(spark, n_events: int, cpus: int) -> dict:
+    """Generate (untimed) → replay (timed).  The changelog is written to
+    parquet first so the timed section measures scan→extract→LWW→merge."""
+    workdir = tempfile.mkdtemp(prefix="bench_replay_")
+    clog = os.path.join(workdir, "changelog")
+    table = os.path.join(workdir, "table")
+    log = synthetic_changelog(
+        spark,
+        n_events,
+        seed=42,
+        n_epochs=4,
+        n_repos=500,
+        paths_per_repo=2000,
+        skew=3.0,
+        pct_update=0.35,
+        pct_delete=0.10,
+        num_partitions=cpus * 4,
+    )
+    write_changelog(log, clog)
+    cfg = ReplayConfig(n_salts=16, num_partitions=cpus * 4, n_buckets=64)
+    t0 = time.time()
+    sink = replay(spark, clog, table, cfg)
+    dt = time.time() - t0
+    rows = sink.load().count()
+    shutil.rmtree(workdir, ignore_errors=True)
+    return {
+        "events": n_events,
+        "seconds": round(dt, 2),
+        "events_per_sec": round(n_events / dt, 1),
+        "final_rows": rows,
+        "epochs": 4,
+    }
+
+
+def main() -> None:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_events = int(os.environ.get("BENCH_EVENTS", "1000000"))
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+
+    spark = get_spark(
+        "bench",
+        master=f"local[{cpus}]",
+        extra_conf={"spark.sql.shuffle.partitions": str(cpus * 2)},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    replay_stats = bench_replay(spark, n_events, cpus)
+
+    query_times: dict[str, float] = {}
+    if os.environ.get("BENCH_SKIP_QUERIES") != "1":
+        for name, fn in QUERIES.items():
+            t0 = time.time()
+            try:
+                force(fn(spark, sf_dir))
+                query_times[name] = round(time.time() - t0, 3)
+            except Exception as e:  # noqa: BLE001
+                query_times[name] = -1.0
+                print(f"query {name} failed: {e}", file=sys.stderr)
+
+    total = replay_stats["seconds"] + sum(t for t in query_times.values() if t > 0)
+    out = {
+        "metric": "cdc_replay_plus_query_suite_wall_seconds",
+        "value": round(total, 2),
+        "unit": "sec",
+        "queries": query_times,
+        "sf": sf,
+        "replay": replay_stats,
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

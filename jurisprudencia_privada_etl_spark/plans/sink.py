@@ -33,7 +33,7 @@ from __future__ import annotations
 import os
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -203,7 +203,22 @@ class HadoopParquetSink:
         ).withColumn(BUCKET_COLUMN, bucket_of(m.n_buckets))
         u = u.persist()
 
-        touched = sorted(r[BUCKET_COLUMN] for r in u.select(BUCKET_COLUMN).distinct().collect())
+        # ONE job materializes the updates cache and yields both the touched
+        # bucket set and the per-partition lineage metrics (A2 / north star).
+        stats = (
+            u.groupBy(F.spark_partition_id().alias("p"), F.col(BUCKET_COLUMN))
+            .agg(F.count("*").alias("n"), F.sum(F.octet_length("content")).alias("b"))
+            .collect()
+        )
+        touched = sorted({r[BUCKET_COLUMN] for r in stats})
+        part_agg: dict[int, list[int]] = {}
+        for r in stats:
+            acc = part_agg.setdefault(r["p"], [0, 0])
+            acc[0] += r["n"]
+            acc[1] += r["b"] or 0
+        lineage = [
+            {"partition": p, "events": n, "bytes": b} for p, (n, b) in sorted(part_agg.items())
+        ]
         target = self.load(buckets=touched)
 
         tt = target.select(
@@ -242,12 +257,19 @@ class HadoopParquetSink:
             F.when(wins, F.col(f"u_{BUCKET_COLUMN}")).otherwise(F.col(f"t_{BUCKET_COLUMN}")).cast("int").alias(BUCKET_COLUMN),
             action.alias("_action"),
         )
-        merged = merged.persist()
 
-        # lineage metrics (A2): created/updated/deleted + byte volume — the
-        # engine's version of the reference's per-run report counters
-        # (report.ts:5-12, aux.ts:26-32)
-        counts = {r["_action"]: r["n"] for r in merged.groupBy("_action").agg(F.count("*").alias("n")).collect()}
+        # run counters (A2 — the reference's created/updated/deleted report,
+        # report.ts:5-12, aux.ts:26-32) piggyback on the write job via
+        # observe(): no separate aggregation pass over the merge.
+        merged_raw = merged
+        obs = Observation(f"merge_epoch_{epoch}")
+        merged = merged.observe(
+            obs,
+            F.count(F.when(F.col("_action") == "created", 1)).alias("created"),
+            F.count(F.when(F.col("_action") == "updated", 1)).alias("updated"),
+            F.count(F.when(F.col("_action") == "deleted", 1)).alias("deleted"),
+            F.count(F.when(F.col("_action") == "kept", 1)).alias("kept"),
+        )
         survivors = merged.where(~F.col("_action").isin("deleted", "tombstone_noop"))
 
         data_rel = os.path.join("data", f"v{new_version:08d}")
@@ -259,17 +281,24 @@ class HadoopParquetSink:
             .partitionBy(BUCKET_COLUMN)
             .parquet(data_dir)
         )
-        live_buckets = {r[BUCKET_COLUMN] for r in survivors.select(BUCKET_COLUMN).distinct().collect()}
-
-        # per-partition applied-event counts + byte metrics (north star)
-        lineage = [
-            {"partition": r["p"], "events": r["n"], "bytes": r["b"]}
-            for r in u.groupBy(F.spark_partition_id().alias("p"))
-            .agg(F.count("*").alias("n"), F.sum(F.octet_length("content")).alias("b"))
-            .collect()
-        ]
+        try:
+            counts = obs.get
+        except Exception:
+            # When ALL rows of the touched buckets are deleted, the write's
+            # plan collapses to an empty relation and the CollectMetrics node
+            # never executes (its row comes back schemaless).  Rare path:
+            # recompute the counters with one aggregation job.
+            counts = {
+                r["_action"]: r["n"]
+                for r in merged_raw.groupBy("_action").agg(F.count("*").alias("n")).collect()
+            }
+        # live buckets = the partition dirs the write actually produced
+        live_buckets = {
+            int(name.split("=", 1)[1])
+            for name in os.listdir(data_dir)
+            if name.startswith(f"{BUCKET_COLUMN}=")
+        }
         u.unpersist()
-        merged.unpersist()
 
         buckets = dict(m.buckets)
         for b in touched:
