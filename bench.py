@@ -45,6 +45,9 @@ def bench_replay(spark, n_events: int, cpus: int) -> dict:
     workdir = tempfile.mkdtemp(prefix="bench_replay_")
     clog = os.path.join(workdir, "changelog")
     table = os.path.join(workdir, "table")
+    # size generated files to ~100k rows so scan tasks carry real work at
+    # every parallelism level (tiny files turn the bench into pure overhead)
+    gen_parts = max(cpus, n_events // 100_000)
     log = synthetic_changelog(
         spark,
         n_events,
@@ -55,10 +58,10 @@ def bench_replay(spark, n_events: int, cpus: int) -> dict:
         skew=3.0,
         pct_update=0.35,
         pct_delete=0.10,
-        num_partitions=cpus * 4,
+        num_partitions=gen_parts,
     )
     write_changelog(log, clog)
-    cfg = ReplayConfig(n_salts=16, num_partitions=cpus * 4, n_buckets=64)
+    cfg = ReplayConfig(n_salts=16, n_buckets=64)
     t0 = time.time()
     sink = replay(spark, clog, table, cfg)
     dt = time.time() - t0

@@ -54,7 +54,6 @@ EXTRACTED_FIELDS = [
     T.StructField("path_norm", T.StringType(), True),
     T.StructField("title_norm", T.StringType(), True),
     T.StructField("is_summary", T.BooleanType(), True),
-    T.StructField("n_tokens", T.IntegerType(), True),
 ]
 
 
@@ -68,30 +67,42 @@ def with_jvm_derived(df: DataFrame, default_year: int = 2026) -> DataFrame:
         .withColumn("ext", extension("path"))
         .withColumn("path_date", date_from_path("path", default_year))
         .withColumn("area", first_match_map("path", DEFAULT_AREA_MAP, default="Outros"))
+        .withColumn(
+            "n_tokens",
+            F.size(F.filter(F.split(F.col("content"), r"\s+"), lambda t: t != "")).cast("int"),
+        )
     )
 
 
 def extract(df: DataFrame) -> DataFrame:
-    """Arrow batch stage: NFD folding + cleaning, vectorized pandas only."""
+    """Arrow batch stage: NFD folding + cleaning — the only per-document work
+    Spark has no builtin for.  Everything is whole-batch vectorized (see
+    nfd_fold_pandas: three C passes over a joined batch string)."""
     out_schema = T.StructType(list(df.schema.fields) + EXTRACTED_FIELDS)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re
+
+        ws = re.compile(r"\s+")
         for pdf in batches:
             if len(pdf) == 0:
                 yield pdf.reindex(columns=out_schema.fieldNames())
                 continue
-            path = pdf["path"].astype("string").fillna("")
-            fname = path.str.rsplit("/", n=1).str[-1]
-            path_norm = nfd_fold_pandas(path)
-            title_norm = nfd_fold_pandas(fname).str.replace(r"\s+", " ", regex=True).str.strip()
-            content = pdf["content"].astype("string").fillna("")
+            path_norm = nfd_fold_pandas(pdf["path"])
+            # fname was derived JVM-side (basename, sharepoint.ts:256);
+            # fold + whitespace-canonicalize it (pdf_parser.py:44,50-53)
+            title_norm = pd.Series(
+                [ws.sub(" ", v).strip() if v is not None else None
+                 for v in nfd_fold_pandas(pdf["fname"])],
+                index=pdf.index,
+                dtype="object",
+            )
             pdf = pdf.assign(
                 path_norm=path_norm,
                 title_norm=title_norm,
                 # reference flags "Sumário" docs on the folded basename
                 # (sharepoint.ts:256-258, 383)
                 is_summary=title_norm.str.contains("sumario", regex=False),
-                n_tokens=content.str.count(r"\S+").astype("int32"),
             )
             yield pdf[out_schema.fieldNames()]
 

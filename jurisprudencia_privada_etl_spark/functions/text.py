@@ -8,6 +8,7 @@ Python scalar function, and it is Series-at-a-time, never row-at-a-time.
 
 from __future__ import annotations
 
+import re
 import unicodedata
 
 import pandas as pd
@@ -26,10 +27,32 @@ def _c(col: Column | str) -> Column:
 #   s.normalize("NFD").replace(/[̀-ͯ]/g, "").toLowerCase())
 # ---------------------------------------------------------------------------
 
+_MARKS_RE = re.compile(r"[̀-ͯ]")
+_SEP = "\x00"
+
+
 def nfd_fold_pandas(s: pd.Series) -> pd.Series:
     """Shared implementation used by BOTH the Spark UDF and the test oracle,
-    so normalization parity is by construction (SURVEY.md §7.3 item 2)."""
-    out = s.str.normalize("NFD").str.replace(r"[̀-ͯ]", "", regex=True).str.lower()
+    so normalization parity is by construction (SURVEY.md §7.3 item 2).
+
+    Vectorization: pandas ``.str`` ops loop per row in Python, which made the
+    Arrow stage the pipeline bottleneck.  Instead the whole batch is joined
+    with a NUL separator and normalized/stripped/lowered in three C-level
+    passes over one big string, then split back.  Safe because NUL is a
+    Unicode starter (NFD never reorders across it, and Python's only
+    context-sensitive lowercase rule — final sigma — still sees a word
+    boundary at NUL).  Rows that themselves contain NUL take the per-row
+    fallback path.
+    """
+    na = s.isna()
+    vals = s.fillna("").astype(str).tolist()
+    if any(_SEP in v for v in vals):
+        folded = [_MARKS_RE.sub("", unicodedata.normalize("NFD", v)).lower() for v in vals]
+    else:
+        joined = _SEP.join(vals)
+        folded = _MARKS_RE.sub("", unicodedata.normalize("NFD", joined)).lower().split(_SEP)
+    out = pd.Series(folded, index=s.index, dtype="object")
+    out[na] = None
     return out
 
 

@@ -24,7 +24,7 @@ SALT_COLUMN = "_salt"
 
 def salted_repartition(
     df: DataFrame,
-    num_partitions: int,
+    num_partitions: int | None = None,
     n_salts: int = 16,
     key_cols: list[str] | None = None,
     ordinal_col: str = ORDINAL_COLUMN,
@@ -33,11 +33,18 @@ def salted_repartition(
 
     Deriving the salt from the ordinal (unique per event) rather than a
     random number keeps the plan deterministic and replayable.
+
+    With ``num_partitions=None`` the partition count is left to
+    ``spark.sql.shuffle.partitions`` + AQE coalescing, which right-sizes the
+    tasks by byte volume — a fixed count that is right at 100 TB is wrong at
+    test scale and vice versa.
     """
     keys = key_cols or KEY_COLUMNS
     salted = df.withColumn(
         SALT_COLUMN, F.pmod(F.xxhash64(F.col(ordinal_col)), F.lit(n_salts))
     )
+    if num_partitions is None:
+        return salted.repartition(*keys, SALT_COLUMN)
     return salted.repartition(num_partitions, *keys, SALT_COLUMN)
 
 

@@ -40,7 +40,7 @@ from jurisprudencia_privada_etl_spark.sources.changelog import list_epochs, read
 @dataclass
 class ReplayConfig:
     n_salts: int = 16
-    num_partitions: int | None = None  # None → 2 × defaultParallelism
+    num_partitions: int | None = None  # None → shuffle.partitions + AQE coalesce
     n_buckets: int = 64
     default_year: int = 2026  # epoch-supplied constant, never wall clock
     use_window_lww: bool = False  # row_number window vs max_by partial agg
@@ -53,8 +53,7 @@ def prepare_epoch_updates(
     spark: SparkSession, batch: DataFrame, cfg: ReplayConfig, payload_cols: list[str]
 ) -> DataFrame:
     """Steps 2-4: salt → extract → de-salt → LWW winners, one row per key."""
-    parts = cfg.num_partitions or spark.sparkContext.defaultParallelism * 2
-    salted = salted_repartition(batch, parts, n_salts=cfg.n_salts)
+    salted = salted_repartition(batch, cfg.num_partitions, n_salts=cfg.n_salts)
     extracted = extraction_stage(salted, cfg.default_year) if cfg.run_extraction else (
         salted.withColumn("content_sha", F.sha2(F.col("content").cast("string"), 256))
     )
@@ -81,8 +80,11 @@ def process_epoch(
     if epoch in cfg.schema_evolution:
         sink.evolve(cfg.schema_evolution[epoch])
     payload = [c.name for c in sink.manifest().schema.columns]
+    # touched buckets + lineage from the raw batch (cheap JVM scan) so the
+    # Arrow extraction executes exactly once, inside the merge's write job
+    touched, lineage = sink.key_stats(batch)
     updates = prepare_epoch_updates(spark, batch, cfg, payload)
-    return sink.merge(updates, epoch)
+    return sink.merge(updates, epoch, touched=touched, lineage=lineage)
 
 
 def replay(

@@ -31,6 +31,8 @@ emulated as one full-outer join over the touched buckets.
 from __future__ import annotations
 
 import os
+import sys
+import time
 from typing import Any
 
 from pyspark.sql import DataFrame, Observation, SparkSession
@@ -46,6 +48,14 @@ from jurisprudencia_privada_etl_spark.schemas import (
 )
 
 BUCKET_COLUMN = "_bucket"
+_TRACE = os.environ.get("SINK_TRACE") == "1"
+
+
+def _trace(label: str, t0: float) -> float:
+    if _TRACE:
+        print(f"    [sink] {label}: {time.time() - t0:.1f}s", file=sys.stderr)
+    return time.time()
+
 BOOKKEEPING = [("ordinal", "bigint"), ("content_sha", "string")]
 
 
@@ -170,11 +180,35 @@ class HadoopParquetSink:
 
     # -- MERGE (J5/S9/S10, T3/T4/T5) ------------------------------------------
 
+    def key_stats(self, batch: DataFrame) -> tuple[list[int], list[dict[str, Any]]]:
+        """Touched buckets + per-partition applied-event/byte lineage from a
+        RAW (pre-extraction) batch — a cheap column-pruned JVM scan, so the
+        expensive Arrow extraction is never executed twice per epoch."""
+        stats = (
+            batch.groupBy(
+                F.spark_partition_id().alias("p"), bucket_of(self.manifest().n_buckets).alias("b")
+            )
+            .agg(F.count("*").alias("n"), F.sum(F.octet_length("content")).alias("bytes"))
+            .collect()
+        )
+        touched = sorted({r["b"] for r in stats})
+        part_agg: dict[int, list[int]] = {}
+        for r in stats:
+            acc = part_agg.setdefault(r["p"], [0, 0])
+            acc[0] += r["n"]
+            acc[1] += r["bytes"] or 0
+        lineage = [
+            {"partition": p, "events": n, "bytes": b} for p, (n, b) in sorted(part_agg.items())
+        ]
+        return touched, lineage
+
     def merge(
         self,
         updates: DataFrame,
         epoch: int,
         extra_metrics: dict[str, Any] | None = None,
+        touched: list[int] | None = None,
+        lineage: list[dict[str, Any]] | None = None,
     ) -> dict[str, Any]:
         """Apply one epoch's deduped updates.  Exactly-once: a re-run of an
         already-committed epoch is a no-op (epoch stamp check, the engine's
@@ -183,6 +217,10 @@ class HadoopParquetSink:
         ``updates`` must hold exactly one row per key (LWW winners) with
         columns: keys, op, ordinal, content_sha, and the current payload
         columns (missing payload columns are null-filled here).
+
+        ``touched``/``lineage`` can be precomputed from the raw batch via
+        ``key_stats`` (the replay does); when absent they are computed from
+        ``updates``, which costs one extra pass over its plan.
         """
         m = self.manifest()
         if m.last_committed_epoch >= epoch:
@@ -201,24 +239,11 @@ class HadoopParquetSink:
             F.col("ordinal").cast("bigint").alias("ordinal"),
             F.col("content_sha"),
         ).withColumn(BUCKET_COLUMN, bucket_of(m.n_buckets))
-        u = u.persist()
+        t = time.time()
 
-        # ONE job materializes the updates cache and yields both the touched
-        # bucket set and the per-partition lineage metrics (A2 / north star).
-        stats = (
-            u.groupBy(F.spark_partition_id().alias("p"), F.col(BUCKET_COLUMN))
-            .agg(F.count("*").alias("n"), F.sum(F.octet_length("content")).alias("b"))
-            .collect()
-        )
-        touched = sorted({r[BUCKET_COLUMN] for r in stats})
-        part_agg: dict[int, list[int]] = {}
-        for r in stats:
-            acc = part_agg.setdefault(r["p"], [0, 0])
-            acc[0] += r["n"]
-            acc[1] += r["b"] or 0
-        lineage = [
-            {"partition": p, "events": n, "bytes": b} for p, (n, b) in sorted(part_agg.items())
-        ]
+        if touched is None:
+            touched, lineage = self.key_stats(updates)
+        t = _trace("key stats", t)
         target = self.load(buckets=touched)
 
         tt = target.select(
@@ -281,6 +306,7 @@ class HadoopParquetSink:
             .partitionBy(BUCKET_COLUMN)
             .parquet(data_dir)
         )
+        t = _trace("merge join+write", t)
         try:
             counts = obs.get
         except Exception:
@@ -298,7 +324,6 @@ class HadoopParquetSink:
             for name in os.listdir(data_dir)
             if name.startswith(f"{BUCKET_COLUMN}=")
         }
-        u.unpersist()
 
         buckets = dict(m.buckets)
         for b in touched:
