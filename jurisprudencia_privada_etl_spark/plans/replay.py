@@ -45,6 +45,10 @@ class ReplayConfig:
     default_year: int = 2026  # epoch-supplied constant, never wall clock
     use_window_lww: bool = False  # row_number window vs max_by partial agg
     run_extraction: bool = True
+    # "agg": MERGE = one max_by aggregation over union(target, events); with
+    #   use_window_lww=False the intra-epoch LWW fuses into the same shuffle.
+    # "join": textbook full-outer-join MERGE (kept for parity testing).
+    merge_strategy: str = "agg"
     # epoch -> schema changes to apply BEFORE that epoch's merge
     schema_evolution: dict[int, list[SchemaChange]] = field(default_factory=dict)
 
@@ -52,14 +56,24 @@ class ReplayConfig:
 def prepare_epoch_updates(
     spark: SparkSession, batch: DataFrame, cfg: ReplayConfig, payload_cols: list[str]
 ) -> DataFrame:
-    """Steps 2-4: salt → extract → de-salt → LWW winners, one row per key."""
+    """Steps 2-4: salt → extract → de-salt → LWW winners.
+
+    With the fused agg merge (merge_strategy="agg", use_window_lww=False) the
+    per-epoch LWW happens inside the merge's own groupBy, so no separate
+    dedup shuffle runs here — one shuffle fewer per epoch, identical output
+    (property-tested in tests/test_fixtures.py).
+    """
     salted = salted_repartition(batch, cfg.num_partitions, n_salts=cfg.n_salts)
     extracted = extraction_stage(salted, cfg.default_year) if cfg.run_extraction else (
         salted.withColumn("content_sha", F.sha2(F.col("content").cast("string"), 256))
     )
     unsalted = desalt(extracted)
-    lww = lww_dedup if cfg.use_window_lww else lww_dedup_agg
-    winners = lww(unsalted)
+    if cfg.use_window_lww:
+        winners = lww_dedup(unsalted)
+    elif cfg.merge_strategy == "join":
+        winners = lww_dedup_agg(unsalted)
+    else:
+        winners = unsalted  # fused: merge's max_by IS the LWW
     keep = [c for c in ["repo", "path", *payload_cols, "op", "ordinal", "content_sha"] if c in winners.columns]
     # dedupe while preserving order
     seen: set[str] = set()
@@ -96,7 +110,7 @@ def replay(
 ) -> HadoopParquetSink:
     """Full resumable replay of a stored changelog into a lake table."""
     cfg = cfg or ReplayConfig()
-    sink = HadoopParquetSink(spark, table_path, n_buckets=cfg.n_buckets)
+    sink = HadoopParquetSink(spark, table_path, n_buckets=cfg.n_buckets, merge_strategy=cfg.merge_strategy)
     if not sink.exists():
         sink.create(TableSchema.from_struct(TARGET_SCHEMA))
     if epochs is None:
@@ -120,7 +134,7 @@ def replay_dataframe(
     split per epoch with pruned filters.
     """
     cfg = cfg or ReplayConfig()
-    sink = HadoopParquetSink(spark, table_path, n_buckets=cfg.n_buckets)
+    sink = HadoopParquetSink(spark, table_path, n_buckets=cfg.n_buckets, merge_strategy=cfg.merge_strategy)
     if not sink.exists():
         sink.create(TableSchema.from_struct(TARGET_SCHEMA))
     epochs = sorted(r["epoch"] for r in changelog.select("epoch").distinct().collect())

@@ -67,10 +67,17 @@ def bucket_of(n_buckets: int) -> F.Column:
 class HadoopParquetSink:
     """Parquet + manifest lake table with atomic epoch-stamped commits."""
 
-    def __init__(self, spark: SparkSession, table_path: str, n_buckets: int = 64):
+    def __init__(
+        self,
+        spark: SparkSession,
+        table_path: str,
+        n_buckets: int = 64,
+        merge_strategy: str = "agg",  # "agg" (union + max_by) | "join" (full outer)
+    ):
         self.spark = spark
         self.table_path = table_path
         self.n_buckets = n_buckets
+        self.merge_strategy = merge_strategy
         # test hook: raise after data files are written but BEFORE the
         # manifest publish — the mid-epoch-restart fixture's kill point.
         self.crash_before_publish = False
@@ -202,6 +209,90 @@ class HadoopParquetSink:
         ]
         return touched, lineage
 
+    def _merge_join(self, target: DataFrame, u: DataFrame, payload: list[str]) -> DataFrame:
+        """MERGE as a full-outer join (the textbook emulation)."""
+        tt = target.select(
+            *[F.col(c).alias(f"t_{c}") for c in payload],
+            F.col("ordinal").alias("t_ordinal"),
+            F.col("content_sha").alias("t_content_sha"),
+            F.col(BUCKET_COLUMN).alias(f"t_{BUCKET_COLUMN}"),
+        )
+        uu = u.select(
+            *[F.col(c).alias(f"u_{c}") for c in payload],
+            F.col("op").alias("u_op"),
+            F.col("ordinal").alias("u_ordinal"),
+            F.col("content_sha").alias("u_content_sha"),
+            F.col(BUCKET_COLUMN).alias(f"u_{BUCKET_COLUMN}"),
+        )
+        cond = [tt[f"t_{k}"].eqNullSafe(uu[f"u_{k}"]) for k in KEY_COLUMNS]
+        j = tt.join(uu, cond, "full_outer")
+
+        u_present = F.col("u_ordinal").isNotNull()
+        t_present = F.col("t_ordinal").isNotNull()
+        wins = u_present & (~t_present | (F.col("u_ordinal") > F.col("t_ordinal")))
+        is_del = F.col("u_op") == F.lit("D")
+        action = (
+            F.when(wins & is_del & t_present, F.lit("deleted"))
+            .when(wins & is_del, F.lit("tombstone_noop"))
+            .when(wins & t_present, F.lit("updated"))
+            .when(wins, F.lit("created"))
+            .otherwise(F.lit("kept"))
+        )
+
+        pick = lambda c: F.when(wins, F.col(f"u_{c}")).otherwise(F.col(f"t_{c}")).alias(c)  # noqa: E731
+        return j.select(
+            *[pick(c) for c in payload],
+            F.when(wins, F.col("u_ordinal")).otherwise(F.col("t_ordinal")).alias("ordinal"),
+            F.when(wins, F.col("u_content_sha")).otherwise(F.col("t_content_sha")).alias("content_sha"),
+            F.when(wins, F.col(f"u_{BUCKET_COLUMN}")).otherwise(F.col(f"t_{BUCKET_COLUMN}")).cast("int").alias(BUCKET_COLUMN),
+            action.alias("_action"),
+        )
+
+    def _merge_agg(self, target: DataFrame, u: DataFrame, payload: list[str]) -> DataFrame:
+        """MERGE as one max_by aggregation over union(target, updates).
+
+        LWW is a commutative, associative reduction, so the upsert needs no
+        join at all: tag both sides, union, and take the max-ordinal row per
+        key.  The target contributes at most one row per key and ordinals are
+        unique, so the winner is deterministic.  Compared to the full-outer
+        join this runs with ONE shuffle, gets map-side partial aggregation
+        (a hot key's rows pre-reduce inside each map task before the
+        exchange — the skew story at 10^10 events), and cannot suffer join
+        skew, so AQE's skew handling isn't load-bearing here.
+        """
+        body = [*payload, "ordinal", "content_sha", BUCKET_COLUMN]
+        tt = target.select(
+            *body, F.lit(None).cast("string").alias("op"), F.lit(1).alias("_is_target")
+        )
+        uu = u.select(*body, "op", F.lit(0).alias("_is_target"))
+        both = tt.unionByName(uu)
+
+        winner = F.max_by(
+            F.struct(*[c for c in [*body, "op"] if c not in KEY_COLUMNS]), F.col("ordinal")
+        ).alias("_w")
+        agg = both.groupBy(*KEY_COLUMNS).agg(
+            winner,
+            F.max("_is_target").alias("_had_target"),
+        )
+        won_by_update = F.col("_w.op").isNotNull()
+        is_del = F.col("_w.op") == F.lit("D")
+        t_present = F.col("_had_target") == 1
+        action = (
+            F.when(~won_by_update, F.lit("kept"))
+            .when(is_del & t_present, F.lit("deleted"))
+            .when(is_del, F.lit("tombstone_noop"))
+            .when(t_present, F.lit("updated"))
+            .otherwise(F.lit("created"))
+        )
+        return agg.select(
+            *KEY_COLUMNS,
+            *[F.col(f"_w.{c}").alias(c) for c in payload if c not in KEY_COLUMNS],
+            F.col("_w.ordinal").alias("ordinal"),
+            F.col("_w.content_sha").alias("content_sha"),
+            F.col(f"_w.{BUCKET_COLUMN}").cast("int").alias(BUCKET_COLUMN),
+            action.alias("_action"),
+        )
+
     def merge(
         self,
         updates: DataFrame,
@@ -246,42 +337,10 @@ class HadoopParquetSink:
         t = _trace("key stats", t)
         target = self.load(buckets=touched)
 
-        tt = target.select(
-            *[F.col(c).alias(f"t_{c}") for c in payload],
-            F.col("ordinal").alias("t_ordinal"),
-            F.col("content_sha").alias("t_content_sha"),
-            F.col(BUCKET_COLUMN).alias(f"t_{BUCKET_COLUMN}"),
-        )
-        uu = u.select(
-            *[F.col(c).alias(f"u_{c}") for c in payload],
-            F.col("op").alias("u_op"),
-            F.col("ordinal").alias("u_ordinal"),
-            F.col("content_sha").alias("u_content_sha"),
-            F.col(BUCKET_COLUMN).alias(f"u_{BUCKET_COLUMN}"),
-        )
-        cond = [tt[f"t_{k}"].eqNullSafe(uu[f"u_{k}"]) for k in KEY_COLUMNS]
-        j = tt.join(uu, cond, "full_outer")
-
-        u_present = F.col("u_ordinal").isNotNull()
-        t_present = F.col("t_ordinal").isNotNull()
-        wins = u_present & (~t_present | (F.col("u_ordinal") > F.col("t_ordinal")))
-        is_del = F.col("u_op") == F.lit("D")
-        action = (
-            F.when(wins & is_del & t_present, F.lit("deleted"))
-            .when(wins & is_del, F.lit("tombstone_noop"))
-            .when(wins & t_present, F.lit("updated"))
-            .when(wins, F.lit("created"))
-            .otherwise(F.lit("kept"))
-        )
-
-        pick = lambda c: F.when(wins, F.col(f"u_{c}")).otherwise(F.col(f"t_{c}")).alias(c)  # noqa: E731
-        merged = j.select(
-            *[pick(c) for c in payload],
-            F.when(wins, F.col("u_ordinal")).otherwise(F.col("t_ordinal")).alias("ordinal"),
-            F.when(wins, F.col("u_content_sha")).otherwise(F.col("t_content_sha")).alias("content_sha"),
-            F.when(wins, F.col(f"u_{BUCKET_COLUMN}")).otherwise(F.col(f"t_{BUCKET_COLUMN}")).cast("int").alias(BUCKET_COLUMN),
-            action.alias("_action"),
-        )
+        if self.merge_strategy == "join":
+            merged = self._merge_join(target, u, payload)
+        else:
+            merged = self._merge_agg(target, u, payload)
 
         # run counters (A2 — the reference's created/updated/deleted report,
         # report.ts:5-12, aux.ts:26-32) piggyback on the write job via
@@ -306,7 +365,7 @@ class HadoopParquetSink:
             .partitionBy(BUCKET_COLUMN)
             .parquet(data_dir)
         )
-        t = _trace("merge join+write", t)
+        t = _trace(f"merge({self.merge_strategy})+write", t)
         try:
             counts = obs.get
         except Exception:

@@ -194,6 +194,28 @@ def test_evolution_is_idempotent_after_crash(spark, tmp_path):
     assert m.version == v + 1  # only the merge bumped
 
 
+def test_merge_strategies_agree(spark, tmp_path):
+    """Fused agg merge (union + max_by, LWW folded in) ≡ join merge ≡
+    window-LWW + join merge, bit-for-bit."""
+    log = synthetic_changelog(spark, 2500, seed=17, n_epochs=3, n_repos=8,
+                              paths_per_repo=40, pct_update=0.45, pct_delete=0.15)
+    pdf = log.toPandas()
+    a = replay_dataframe(spark, log, str(tmp_path / "agg"), ReplayConfig(merge_strategy="agg"))
+    j = replay_dataframe(spark, log, str(tmp_path / "join"), ReplayConfig(merge_strategy="join"))
+    w = replay_dataframe(spark, log, str(tmp_path / "win"),
+                         ReplayConfig(merge_strategy="join", use_window_lww=True))
+    expected = oracle_reduce(pdf)
+    assert_state_equal(state(a), expected)
+    assert_state_equal(state(j), expected)
+    assert_state_equal(state(w), expected)
+    # run counters agree across strategies, epoch by epoch
+    from jurisprudencia_privada_etl_spark.plans import manifest as mf
+    for v in range(1, 4):
+        ma, mj = mf.load(str(tmp_path / "agg"), v), mf.load(str(tmp_path / "join"), v)
+        for k in ("created", "updated", "deleted"):
+            assert ma.metrics[k] == mj.metrics[k], (v, k)
+
+
 def test_salted_equals_unsalted(spark, tmp_path):
     """Heavily skewed changelog: salted pipeline ≡ unsalted, bit-for-bit
     (SURVEY.md §7.3 item 4)."""
