@@ -66,7 +66,6 @@ def with_jvm_derived(df: DataFrame, default_year: int = 2026) -> DataFrame:
         .withColumn("fname", basename("path"))
         .withColumn("ext", extension("path"))
         .withColumn("path_date", date_from_path("path", default_year))
-        .withColumn("area", first_match_map("path", DEFAULT_AREA_MAP, default="Outros"))
         .withColumn(
             "n_tokens",
             F.size(F.filter(F.split(F.col("content"), r"\s+"), lambda t: t != "")).cast("int"),
@@ -109,6 +108,37 @@ def extract(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema=out_schema)
 
 
-def extraction_stage(df: DataFrame, default_year: int = 2026) -> DataFrame:
-    """JVM derivations + Arrow batch stage, in that order."""
-    return extract(with_jvm_derived(df, default_year))
+def extract_columnar(df: DataFrame) -> DataFrame:
+    """Same outputs as ``extract`` but via scalar Arrow pandas UDFs.
+
+    ``mapInPandas`` serializes EVERY column through Arrow in both directions
+    — for a wide changelog row (~400 B dominated by ``content``) that is
+    ~10× more IPC traffic than the fold actually needs.  A scalar
+    ``pandas_udf`` ships exactly one string column per call and leaves the
+    rest of the row in the JVM, so only ``path`` and ``fname`` cross the
+    boundary; the whitespace canon + summary flag are JVM expressions over
+    the folded result.  Output is identical (tests/test_extraction.py).
+    """
+    from jurisprudencia_privada_etl_spark.functions.text import nfd_fold_udf
+
+    folded_fname = nfd_fold_udf(F.col("fname"))
+    title_norm = F.trim(F.regexp_replace(folded_fname, r"\s+", " "))
+    return (
+        df.withColumn("path_norm", nfd_fold_udf(F.col("path")))
+        .withColumn("title_norm", title_norm)
+        .withColumn("is_summary", F.col("title_norm").contains("sumario"))
+    )
+
+
+def with_area(df: DataFrame) -> DataFrame:
+    """Ordered first-match section mapping (X4) — applied on the FOLDED path
+    so accented section names match their unaccented dictionary keys, like
+    the reference's normalize-then-lookup (sharepoint.ts:485-497, 688-693)."""
+    return df.withColumn("area", first_match_map("path_norm", DEFAULT_AREA_MAP, default="Outros"))
+
+
+def extraction_stage(df: DataFrame, default_year: int = 2026, columnar: bool = True) -> DataFrame:
+    """JVM derivations + Arrow NFD stage + fold-dependent derivations."""
+    derived = with_jvm_derived(df, default_year)
+    folded = extract_columnar(derived) if columnar else extract(derived)
+    return with_area(folded)
