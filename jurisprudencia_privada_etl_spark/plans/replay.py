@@ -74,7 +74,10 @@ def prepare_epoch_updates(
         winners = lww_dedup_agg(unsalted)
     else:
         winners = unsalted  # fused: merge's max_by IS the LWW
-    keep = [c for c in ["repo", "path", *payload_cols, "op", "ordinal", "content_sha"] if c in winners.columns]
+    from jurisprudencia_privada_etl_spark.plans.sink import BOOKKEEPING
+
+    extras = [n for n, _ in BOOKKEEPING]
+    keep = [c for c in ["repo", "path", *payload_cols, "op", *extras] if c in winners.columns]
     # dedupe while preserving order
     seen: set[str] = set()
     keep = [c for c in keep if not (c in seen or seen.add(c))]

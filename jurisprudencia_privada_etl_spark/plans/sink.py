@@ -56,7 +56,22 @@ def _trace(label: str, t0: float) -> float:
         print(f"    [sink] {label}: {time.time() - t0:.1f}s", file=sys.stderr)
     return time.time()
 
-BOOKKEEPING = [("ordinal", "bigint"), ("content_sha", "string")]
+# Engine-maintained columns stored alongside the logical payload:
+#  * ordinal/content_sha — merge bookkeeping + the sha256 invariant
+#  * the rest — the extraction stage's document-index fields, the analog of
+#    the assembled document the reference indexes (title/summary flag/area/
+#    date, aux.ts:43-115); storing them is what makes the Arrow extraction a
+#    real part of the replay plan instead of getting column-pruned away.
+BOOKKEEPING = [
+    ("ordinal", "bigint"),
+    ("content_sha", "string"),
+    ("fingerprint", "bigint"),
+    ("title_norm", "string"),
+    ("is_summary", "boolean"),
+    ("area", "string"),
+    ("path_date", "date"),
+    ("n_tokens", "int"),
+]
 
 
 def bucket_of(n_buckets: int) -> F.Column:
@@ -211,23 +226,17 @@ class HadoopParquetSink:
 
     def _merge_join(self, target: DataFrame, u: DataFrame, payload: list[str]) -> DataFrame:
         """MERGE as a full-outer join (the textbook emulation)."""
-        tt = target.select(
-            *[F.col(c).alias(f"t_{c}") for c in payload],
-            F.col("ordinal").alias("t_ordinal"),
-            F.col("content_sha").alias("t_content_sha"),
-            F.col(BUCKET_COLUMN).alias(f"t_{BUCKET_COLUMN}"),
-        )
+        extras = [n for n, _ in BOOKKEEPING]
+        carried = [*payload, *extras, BUCKET_COLUMN]
+        tt = target.select(*[F.col(c).alias(f"t_{c}") for c in carried])
         uu = u.select(
-            *[F.col(c).alias(f"u_{c}") for c in payload],
+            *[F.col(c).alias(f"u_{c}") for c in carried],
             F.col("op").alias("u_op"),
-            F.col("ordinal").alias("u_ordinal"),
-            F.col("content_sha").alias("u_content_sha"),
-            F.col(BUCKET_COLUMN).alias(f"u_{BUCKET_COLUMN}"),
         )
         cond = [tt[f"t_{k}"].eqNullSafe(uu[f"u_{k}"]) for k in KEY_COLUMNS]
         j = tt.join(uu, cond, "full_outer")
 
-        u_present = F.col("u_ordinal").isNotNull()
+        u_present = F.col("u_op").isNotNull() | F.col("u_ordinal").isNotNull()
         t_present = F.col("t_ordinal").isNotNull()
         wins = u_present & (~t_present | (F.col("u_ordinal") > F.col("t_ordinal")))
         is_del = F.col("u_op") == F.lit("D")
@@ -241,9 +250,7 @@ class HadoopParquetSink:
 
         pick = lambda c: F.when(wins, F.col(f"u_{c}")).otherwise(F.col(f"t_{c}")).alias(c)  # noqa: E731
         return j.select(
-            *[pick(c) for c in payload],
-            F.when(wins, F.col("u_ordinal")).otherwise(F.col("t_ordinal")).alias("ordinal"),
-            F.when(wins, F.col("u_content_sha")).otherwise(F.col("t_content_sha")).alias("content_sha"),
+            *[pick(c) for c in [*payload, *extras]],
             F.when(wins, F.col(f"u_{BUCKET_COLUMN}")).otherwise(F.col(f"t_{BUCKET_COLUMN}")).cast("int").alias(BUCKET_COLUMN),
             action.alias("_action"),
         )
@@ -260,7 +267,7 @@ class HadoopParquetSink:
         exchange — the skew story at 10^10 events), and cannot suffer join
         skew, so AQE's skew handling isn't load-bearing here.
         """
-        body = [*payload, "ordinal", "content_sha", BUCKET_COLUMN]
+        body = [*payload, *[n for n, _ in BOOKKEEPING], BUCKET_COLUMN]
         tt = target.select(
             *body, F.lit(None).cast("string").alias("op"), F.lit(1).alias("_is_target")
         )
@@ -284,11 +291,10 @@ class HadoopParquetSink:
             .when(t_present, F.lit("updated"))
             .otherwise(F.lit("created"))
         )
+        nonkey = [c for c in [*payload, *[n for n, _ in BOOKKEEPING]] if c not in KEY_COLUMNS]
         return agg.select(
             *KEY_COLUMNS,
-            *[F.col(f"_w.{c}").alias(c) for c in payload if c not in KEY_COLUMNS],
-            F.col("_w.ordinal").alias("ordinal"),
-            F.col("_w.content_sha").alias("content_sha"),
+            *[F.col(f"_w.{c}").alias(c) for c in nonkey],
             F.col(f"_w.{BUCKET_COLUMN}").cast("int").alias(BUCKET_COLUMN),
             action.alias("_action"),
         )
@@ -324,12 +330,13 @@ class HadoopParquetSink:
         for c in cur.columns:
             if c.name not in u.columns:
                 u = u.withColumn(c.name, F.lit(None).cast(c.dtype))
-        u = u.select(
-            *payload,
-            F.col("op"),
-            F.col("ordinal").cast("bigint").alias("ordinal"),
-            F.col("content_sha"),
-        ).withColumn(BUCKET_COLUMN, bucket_of(m.n_buckets))
+        extras = [
+            (F.col(n).cast(t) if n in u.columns else F.lit(None).cast(t)).alias(n)
+            for n, t in BOOKKEEPING
+        ]
+        u = u.select(*payload, F.col("op"), *extras).withColumn(
+            BUCKET_COLUMN, bucket_of(m.n_buckets)
+        )
         t = time.time()
 
         if touched is None:
