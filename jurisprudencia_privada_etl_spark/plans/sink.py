@@ -41,6 +41,7 @@ from pyspark.sql import types as T
 
 from jurisprudencia_privada_etl_spark.plans import manifest as mf
 from jurisprudencia_privada_etl_spark.schemas import (
+    OP_DELETE,
     KEY_COLUMNS,
     SchemaChange,
     TableSchema,
@@ -65,6 +66,12 @@ def _trace(label: str, t0: float) -> float:
 BOOKKEEPING = [
     ("ordinal", "bigint"),
     ("content_sha", "string"),
+    # soft-delete marker: tombstones are RETAINED with their ordinal so a
+    # stale lower-ordinal event arriving in a later epoch/micro-batch cannot
+    # resurrect a deleted key ("WHEN MATCHED AND s.ordinal > t.ordinal" needs
+    # the tombstone's ordinal to exist).  vacuum() garbage-collects them past
+    # a configurable ordinal horizon — the Kafka-compaction/gc_grace model.
+    ("deleted", "boolean"),
     ("fingerprint", "bigint"),
     ("title_norm", "string"),
     ("is_summary", "boolean"),
@@ -158,12 +165,15 @@ class HadoopParquetSink:
         ] + [T.StructField(BUCKET_COLUMN, T.IntegerType(), True)]
         return self.spark.createDataFrame([], T.StructType(fields))
 
-    def load(self, buckets: list[int] | None = None) -> DataFrame:
+    def load(self, buckets: list[int] | None = None, include_tombstones: bool = False) -> DataFrame:
         """Current snapshot, aligned to the current schema.
 
         Buckets written before a schema evolution are mapped by column id:
         renamed columns are aliased to their current names, added columns
         null-filled — no data rewrite ever happens for evolution.
+
+        ``include_tombstones`` exposes retained soft-delete rows (the merge
+        needs them; readers do not).
         """
         m = self.manifest()
         cur = m.schema
@@ -198,6 +208,8 @@ class HadoopParquetSink:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if not include_tombstones:
+            out = out.where(~F.coalesce(F.col("deleted"), F.lit(False)))
         return out
 
     # -- MERGE (J5/S9/S10, T3/T4/T5) ------------------------------------------
@@ -238,12 +250,13 @@ class HadoopParquetSink:
 
         u_present = F.col("u_op").isNotNull() | F.col("u_ordinal").isNotNull()
         t_present = F.col("t_ordinal").isNotNull()
+        t_live = t_present & ~F.coalesce(F.col("t_deleted"), F.lit(False))
         wins = u_present & (~t_present | (F.col("u_ordinal") > F.col("t_ordinal")))
         is_del = F.col("u_op") == F.lit("D")
         action = (
-            F.when(wins & is_del & t_present, F.lit("deleted"))
+            F.when(wins & is_del & t_live, F.lit("deleted"))
             .when(wins & is_del, F.lit("tombstone_noop"))
-            .when(wins & t_present, F.lit("updated"))
+            .when(wins & t_live, F.lit("updated"))
             .when(wins, F.lit("created"))
             .otherwise(F.lit("kept"))
         )
@@ -277,18 +290,19 @@ class HadoopParquetSink:
         winner = F.max_by(
             F.struct(*[c for c in [*body, "op"] if c not in KEY_COLUMNS]), F.col("ordinal")
         ).alias("_w")
+        live_target = (F.col("_is_target") == 1) & ~F.coalesce(F.col("deleted"), F.lit(False))
         agg = both.groupBy(*KEY_COLUMNS).agg(
             winner,
-            F.max("_is_target").alias("_had_target"),
+            F.max(live_target.cast("int")).alias("_had_live_target"),
         )
         won_by_update = F.col("_w.op").isNotNull()
-        is_del = F.col("_w.op") == F.lit("D")
-        t_present = F.col("_had_target") == 1
+        is_del = F.coalesce(F.col("_w.deleted"), F.lit(False))
+        t_live = F.col("_had_live_target") == 1
         action = (
             F.when(~won_by_update, F.lit("kept"))
-            .when(is_del & t_present, F.lit("deleted"))
+            .when(is_del & t_live, F.lit("deleted"))
             .when(is_del, F.lit("tombstone_noop"))
-            .when(t_present, F.lit("updated"))
+            .when(t_live, F.lit("updated"))
             .otherwise(F.lit("created"))
         )
         nonkey = [c for c in [*payload, *[n for n, _ in BOOKKEEPING]] if c not in KEY_COLUMNS]
@@ -333,16 +347,17 @@ class HadoopParquetSink:
         extras = [
             (F.col(n).cast(t) if n in u.columns else F.lit(None).cast(t)).alias(n)
             for n, t in BOOKKEEPING
+            if n != "deleted"
         ]
-        u = u.select(*payload, F.col("op"), *extras).withColumn(
-            BUCKET_COLUMN, bucket_of(m.n_buckets)
-        )
+        u = u.select(
+            *payload, F.col("op"), *extras, (F.col("op") == OP_DELETE).alias("deleted")
+        ).withColumn(BUCKET_COLUMN, bucket_of(m.n_buckets))
         t = time.time()
 
         if touched is None:
             touched, lineage = self.key_stats(updates)
         t = _trace("key stats", t)
-        target = self.load(buckets=touched)
+        target = self.load(buckets=touched, include_tombstones=True)
 
         if self.merge_strategy == "join":
             merged = self._merge_join(target, u, payload)
@@ -361,7 +376,9 @@ class HadoopParquetSink:
             F.count(F.when(F.col("_action") == "deleted", 1)).alias("deleted"),
             F.count(F.when(F.col("_action") == "kept", 1)).alias("kept"),
         )
-        survivors = merged.where(~F.col("_action").isin("deleted", "tombstone_noop"))
+        # ALL rows are written — tombstones persist as soft-delete rows until
+        # vacuum(); see BOOKKEEPING comment.
+        survivors = merged
 
         data_rel = os.path.join("data", f"v{new_version:08d}")
         data_dir = os.path.join(self.table_path, data_rel)
@@ -427,6 +444,66 @@ class HadoopParquetSink:
             ),
         )
         return metrics
+
+
+    def vacuum(self, retain_after_ordinal: int) -> dict:
+        """Garbage-collect tombstones with ordinal < ``retain_after_ordinal``.
+
+        The horizon is the operator's promise that no event with a lower
+        ordinal can still arrive (the reference's analog: its repair rescan
+        window, sharepoint.ts:344-398).  A stale event BELOW the horizon
+        arriving after vacuum would resurrect its key — same contract as
+        Kafka log compaction's delete.retention.ms.  Rewrites every bucket
+        containing an expired tombstone; untouched buckets carry forward.
+        """
+        m = self.manifest()
+        new_version = m.version + 1
+        full = self.load(include_tombstones=True)
+        expired = F.coalesce(F.col("deleted"), F.lit(False)) & (
+            F.col("ordinal") < F.lit(retain_after_ordinal)
+        )
+        affected = sorted(
+            r[BUCKET_COLUMN]
+            for r in full.where(expired).select(BUCKET_COLUMN).distinct().collect()
+        )
+        if not affected:
+            return {"vacuumed_buckets": 0}
+        keep = self.load(buckets=affected, include_tombstones=True).where(~expired)
+        data_rel = os.path.join("data", f"v{new_version:08d}")
+        data_dir = os.path.join(self.table_path, data_rel)
+        (
+            keep.repartition(max(1, len(affected)), BUCKET_COLUMN)
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COLUMN)
+            .parquet(data_dir)
+        )
+        live = {
+            int(name.split("=", 1)[1])
+            for name in os.listdir(data_dir)
+            if name.startswith(f"{BUCKET_COLUMN}=")
+        }
+        buckets = dict(m.buckets)
+        for b in affected:
+            if b in live:
+                buckets[str(b)] = {
+                    "path": os.path.join(data_rel, f"{BUCKET_COLUMN}={b}"),
+                    "schema_version": new_version,
+                }
+            else:
+                buckets.pop(str(b), None)
+        mf.publish(
+            self.table_path,
+            mf.Manifest(
+                version=new_version,
+                last_committed_epoch=m.last_committed_epoch,
+                schema=m.schema,
+                buckets=buckets,
+                n_buckets=m.n_buckets,
+                metrics={"vacuum_below": retain_after_ordinal, "buckets": len(affected)},
+                parent_version=m.version,
+            ),
+        )
+        return {"vacuumed_buckets": len(affected)}
 
 
 class IcebergSink:

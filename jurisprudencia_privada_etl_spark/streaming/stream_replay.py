@@ -1,0 +1,92 @@
+"""Structured Streaming variant of the CDC replay (SURVEY.md §2.8 T2).
+
+The batch replay treats one epoch as the unit of commit; the streaming
+variant treats one micro-batch the same way: ``readStream`` over the
+changelog directory → ``foreachBatch`` → the SAME ``process_epoch`` path
+(salt → extract → LWW → MERGE → manifest), with the micro-batch id as the
+epoch stamp.  ``Trigger.AvailableNow`` drains everything currently present
+and stops — the streaming analog of the reference's "page until deltaLink
+then persist tokens" sweep (sharepoint.ts:416-461).
+
+Exactly-once composes from both layers: Spark's streaming checkpoint
+guarantees each file lands in exactly one micro-batch, and the sink's
+batch-id stamp makes re-delivery of a whole micro-batch (after a crash
+between sink commit and checkpoint commit) a no-op — the classic idempotent-
+foreachBatch pattern.
+
+Watermarks are unnecessary: LWW on (key, ordinal) makes late data a merge
+predicate, not a state-eviction problem (SURVEY.md §2.8 T8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from jurisprudencia_privada_etl_spark.plans.replay import ReplayConfig, prepare_epoch_updates
+from jurisprudencia_privada_etl_spark.plans.sink import HadoopParquetSink
+from jurisprudencia_privada_etl_spark.schemas import CHANGELOG_SCHEMA, TableSchema, TARGET_SCHEMA
+
+
+def stream_replay(
+    spark: SparkSession,
+    changelog_path: str,
+    table_path: str,
+    checkpoint_path: str,
+    cfg: ReplayConfig | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Start (and with ``available_now`` run to completion) a streaming
+    replay.  Returns the StreamingQuery."""
+    cfg = cfg or ReplayConfig()
+    sink = HadoopParquetSink(spark, table_path, n_buckets=cfg.n_buckets,
+                             merge_strategy=cfg.merge_strategy)
+    if not sink.exists():
+        sink.create(TableSchema.from_struct(TARGET_SCHEMA))
+
+    reader = (
+        spark.readStream.schema(CHANGELOG_SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(changelog_path)
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        if sink.last_committed_epoch() >= batch_id:
+            return  # re-delivered micro-batch after partial failure: no-op
+        if batch_df.isEmpty():
+            return
+        payload = [c.name for c in sink.manifest().schema.columns]
+        touched, lineage = sink.key_stats(batch_df)
+        updates = prepare_epoch_updates(spark, batch_df, cfg, payload)
+        sink.merge(updates, batch_id, touched=touched, lineage=lineage,
+                   extra_metrics={"streaming_batch": batch_id})
+
+    writer = stream.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    if available_now:
+        query.awaitTermination()
+    return query
+
+
+def stream_metrics(spark: SparkSession, table_path: str) -> "list[dict]":
+    """Per-micro-batch lineage recorded by the sink manifests."""
+    from jurisprudencia_privada_etl_spark.plans import manifest as mf
+
+    out = []
+    v = mf.current_version(table_path)
+    while v is not None and v >= 0:
+        m = mf.load(table_path, v)
+        if m is None:
+            break
+        if m.metrics:
+            out.append({"version": m.version, **m.metrics})
+        v = m.parent_version
+    return list(reversed(out))

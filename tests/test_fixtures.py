@@ -194,6 +194,41 @@ def test_evolution_is_idempotent_after_crash(spark, tmp_path):
     assert m.version == v + 1  # only the merge bumped
 
 
+def test_stale_insert_after_delete_cannot_resurrect(spark, tmp_path):
+    """Tombstones are retained with their ordinal: a stale lower-ordinal
+    event arriving in a LATER epoch must not resurrect a deleted key."""
+    path = str(tmp_path / "t")
+    replay_dataframe(spark, make_log(spark, [(0, 10, "I", "r1", "a.py", "c", "py", "v1")]), path)
+    log2 = make_log(spark, [(0, 10, "I", "r1", "a.py", "c", "py", "v1"),
+                            (1, 30, "D", "r1", "a.py", "c", "py", None)])
+    replay_dataframe(spark, log2, path)
+    log3 = make_log(spark, [(0, 10, "I", "r1", "a.py", "c", "py", "v1"),
+                            (1, 30, "D", "r1", "a.py", "c", "py", None),
+                            (2, 20, "I", "r1", "a.py", "c", "py", "stale straggler")])
+    sink = replay_dataframe(spark, log3, path)
+    assert len(state(sink)) == 0  # still deleted
+    # the tombstone row is retained internally with its ordinal
+    tomb = sink.load(include_tombstones=True).where("deleted").collect()
+    assert len(tomb) == 1 and tomb[0]["ordinal"] == 30
+
+
+def test_vacuum_collects_expired_tombstones(spark, tmp_path):
+    path = str(tmp_path / "t")
+    rows = [
+        (0, 1, "I", "r1", "a.py", "c", "py", "v1"),
+        (0, 2, "I", "r1", "b.py", "c", "py", "v2"),
+        (1, 3, "D", "r1", "a.py", "c", "py", None),
+    ]
+    sink = replay_dataframe(spark, make_log(spark, rows), path)
+    assert sink.load(include_tombstones=True).where("deleted").count() == 1
+    res = sink.vacuum(retain_after_ordinal=10)
+    assert res["vacuumed_buckets"] >= 1
+    assert sink.load(include_tombstones=True).where("deleted").count() == 0
+    assert len(state(sink)) == 1  # b.py intact
+    # epoch stamp survives the vacuum (resume still works)
+    assert sink.last_committed_epoch() == 1
+
+
 def test_merge_strategies_agree(spark, tmp_path):
     """Fused agg merge (union + max_by, LWW folded in) ≡ join merge ≡
     window-LWW + join merge, bit-for-bit."""
