@@ -21,11 +21,18 @@ Merge semantics (the reference's deterministic-id insert-or-replace,
 src/juris.ts:6-14, upgraded with first-class tombstones and cross-epoch LWW):
 
   MERGE INTO target t USING updates s ON t.repo=s.repo AND t.path=s.path
-    WHEN MATCHED  AND s.op='D' AND s.ordinal > t.ordinal THEN DELETE
-    WHEN MATCHED  AND s.op<>'D' AND s.ordinal > t.ordinal THEN UPDATE SET *
-    WHEN NOT MATCHED AND s.op<>'D' THEN INSERT *
+    WHEN MATCHED  AND s.ordinal > t.ordinal THEN UPDATE SET *   -- incl. soft-delete
+    WHEN NOT MATCHED THEN INSERT *                              -- incl. tombstones
 
-emulated as one full-outer join over the touched buckets.
+with deletes retained as soft-delete rows (readers filter them; vacuum()
+GCs them past an ordinal horizon) so stale lower-ordinal events can never
+resurrect a deleted key.  Two physical strategies, property-tested equal:
+
+  * "agg" (default): LWW is a commutative reduction, so the whole MERGE is
+    ONE groupBy(key).max_by(ordinal) over union(target, events) — a single
+    shuffle with map-side partial aggregation (hot keys pre-reduce inside
+    each map task; join skew cannot occur).
+  * "join": the textbook full-outer-join emulation.
 """
 
 from __future__ import annotations

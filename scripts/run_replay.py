@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""spark-submit entrypoint for the CDC replay (north rule: "runs via
+spark-submit --py-files on multi-executor clusters").
+
+Cluster usage:
+    zip -r engine.zip jurisprudencia_privada_etl_spark
+    spark-submit --py-files engine.zip \
+        --conf spark.sql.shuffle.partitions=2000 \
+        scripts/run_replay.py --changelog s3://bucket/changelog \
+        --table s3://bucket/lake/repos --n-buckets 4096
+
+Local smoke:
+    python scripts/run_replay.py --generate 100000 --changelog /tmp/clog \
+        --table /tmp/table
+
+The job is killable at any point and resumable by re-running the same
+command: the sink's manifest records the last committed epoch and every
+epoch re-applies idempotently.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--changelog", required=True, help="epoch-partitioned changelog path")
+    ap.add_argument("--table", required=True, help="lake table path")
+    ap.add_argument("--n-buckets", type=int, default=64)
+    ap.add_argument("--n-salts", type=int, default=16)
+    ap.add_argument("--merge-strategy", choices=["agg", "join"], default="agg")
+    ap.add_argument("--window-lww", action="store_true", help="row_number-window LWW")
+    ap.add_argument("--streaming", action="store_true", help="Structured Streaming variant")
+    ap.add_argument("--checkpoint", help="streaming checkpoint dir (required with --streaming)")
+    ap.add_argument("--vacuum-below", type=int, help="GC tombstones below this ordinal, then exit")
+    ap.add_argument("--generate", type=int, default=0, help="generate N synthetic events first (testing)")
+    ap.add_argument("--default-year", type=int, default=2026)
+    args = ap.parse_args()
+
+    spark = SparkSession.builder.appName("cdc-replay").getOrCreate()
+    from jurisprudencia_privada_etl_spark.plans.replay import ReplayConfig, replay
+    from jurisprudencia_privada_etl_spark.plans.sink import HadoopParquetSink
+
+    if args.generate:
+        from jurisprudencia_privada_etl_spark.sources.changelog import write_changelog
+        from jurisprudencia_privada_etl_spark.sources.generator import synthetic_changelog
+
+        write_changelog(synthetic_changelog(spark, args.generate), args.changelog)
+
+    cfg = ReplayConfig(
+        n_salts=args.n_salts,
+        n_buckets=args.n_buckets,
+        merge_strategy=args.merge_strategy,
+        use_window_lww=args.window_lww,
+        default_year=args.default_year,
+    )
+
+    if args.vacuum_below is not None:
+        sink = HadoopParquetSink(spark, args.table, n_buckets=args.n_buckets)
+        print(json.dumps(sink.vacuum(args.vacuum_below)))
+        return
+
+    if args.streaming:
+        if not args.checkpoint:
+            sys.exit("--streaming requires --checkpoint")
+        from jurisprudencia_privada_etl_spark.streaming.stream_replay import stream_replay
+
+        stream_replay(spark, args.changelog, args.table, args.checkpoint, cfg)
+        sink = HadoopParquetSink(spark, args.table, n_buckets=args.n_buckets)
+    else:
+        sink = replay(spark, args.changelog, args.table, cfg)
+
+    m = sink.manifest()
+    print(json.dumps({"last_committed_epoch": m.last_committed_epoch,
+                      "version": m.version, "metrics": m.metrics}))
+
+
+if __name__ == "__main__":
+    main()
