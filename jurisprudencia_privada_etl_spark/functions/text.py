@@ -97,3 +97,13 @@ def empty_html(col: Column | str) -> Column:
 def strip_html(col: Column | str) -> Column:
     c = _c(col)
     return F.trim(F.regexp_replace(c, r"<[^>]*>", ""))
+
+
+def faceted_triple(*values: Column | str) -> Column:
+    """Faceted field triple {Index, Original, Show} — the reference's indexed
+    facet shape (X18, aux.ts:70, 86-99; sharepoint.ts:125): each facet keeps
+    three parallel string arrays."""
+    vals = F.array(*[(F.col(v) if isinstance(v, str) else v).cast("string") for v in values])
+    return F.struct(
+        vals.alias("Index"), vals.alias("Original"), vals.alias("Show")
+    )

@@ -1,0 +1,168 @@
+"""Sidecar dimension table: parse, clean, and fuzzy-join (SURVEY.md §2 S4/S5,
+J1/J2, A1/A5/A6).
+
+The reference finds a per-folder "tabela" PDF, parses it through a python
+child process into rows keyed by process number, and joins each document to
+its row by fuzzy containment of the dash→slash-translated filename
+(sharepoint.ts:502-593, pdf_parser.py:14-54).  Here:
+
+* the PDF-decode step is out of scope (no network/codecs) — the parse stage
+  takes the raw extracted cell grid and reproduces the CLEANING the
+  reference's pdf_parser does: whitespace canonicalization of headers and
+  cells (pdf_parser.py:44,50-53), duplicate-header disambiguation with _n
+  suffixes (dedupe(), pdf_parser.py:23-33), multi-page concat (pd.concat,
+  pdf_parser.py:35-49), first-wins keyed reduce dropping null keys
+  (sharepoint.ts:526-533);
+* the join side is a broadcast hash join on folder (J1) plus a broadcast
+  nested-loop containment match filename↔process-key (J2) with the
+  reference's fallback defaults when no key matches (sharepoint.ts:588-591).
+
+At scale the dimension stays small (per-folder metadata) — broadcast is the
+right physical plan, never a shuffle of the fact side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from jurisprudencia_privada_etl_spark.functions.paths import basename, dash_to_slash, dirname
+
+SIDECAR_SCHEMA = T.StructType(
+    [
+        T.StructField("folder", T.StringType(), False),
+        T.StructField("process_key", T.StringType(), True),
+        T.StructField("judge", T.StringType(), True),
+        T.StructField("process_mean", T.ArrayType(T.StringType()), True),
+        T.StructField("decision", T.StringType(), True),
+    ]
+)
+
+
+def dedupe_headers(cols: list[str]) -> list[str]:
+    """Duplicate-column-name resolution: suffix _n on repeats (A6,
+    pdf_parser.py:23-33)."""
+    seen: dict[str, int] = {}
+    out = []
+    for c in cols:
+        if c in seen:
+            seen[c] += 1
+            out.append(f"{c}_{seen[c]}")
+        else:
+            seen[c] = 0
+            out.append(c)
+    return out
+
+
+def clean_cell(v) -> str | None:
+    """Whitespace canonicalization of one cell (X14, pdf_parser.py:50-53)."""
+    if v is None or (isinstance(v, float) and pd.isna(v)):
+        return None
+    s = str(v).replace("\n", " ")
+    s = " ".join(s.split())
+    return s or None
+
+
+def parse_sidecar_pages(pages: list[pd.DataFrame]) -> pd.DataFrame:
+    """Multi-page raw cell grids → one cleaned pandas table (S5/A5/A6).
+
+    Each page's first row is its header (as the reference's table extraction
+    yields); headers are cleaned + dedup-suffixed, cells cleaned, pages
+    concatenated (pd.concat, pdf_parser.py:49).
+    """
+    frames = []
+    for page in pages:
+        if len(page) == 0:
+            continue
+        header = dedupe_headers([clean_cell(h) or "" for h in page.iloc[0]])
+        body = page.iloc[1:].reset_index(drop=True)
+        body.columns = header
+        frames.append(body.applymap(clean_cell) if hasattr(body, "applymap") else body.map(clean_cell))
+    if not frames:
+        return pd.DataFrame()
+    return pd.concat(frames, ignore_index=True)
+
+
+def sidecar_dimension(
+    spark: SparkSession,
+    raw: DataFrame,
+    key_col: str = "Processo",
+    judge_col: str = "Relator",
+    mean_col: str = "Meio Processual",
+    decision_col: str = "Decisão",
+) -> DataFrame:
+    """Cleaned raw rows (folder + parsed columns) → keyed dimension:
+    first-wins per process key, null keys dropped (A1, sharepoint.ts:526-533)."""
+    w_first = F.min_by(
+        F.struct(F.col(judge_col).alias("judge"),
+                 F.transform(
+                     # NB: not `F.trim` directly — its optional 2nd arg makes
+                     # transform() bind the array index to it (arity trap)
+                     F.split(F.coalesce(F.col(mean_col), F.lit("")), ";"),
+                     lambda c: F.trim(c),
+                 ).alias("process_mean"),
+                 F.col(decision_col).alias("decision")),
+        F.col("_row"),
+    ).alias("_v")
+    dim = (
+        raw.withColumn("_row", F.monotonically_increasing_id())
+        .where(F.col(key_col).isNotNull())
+        .groupBy("folder", F.col(key_col).alias("process_key"))
+        .agg(w_first)
+        .select("folder", "process_key", "_v.judge", "_v.process_mean", "_v.decision")
+    )
+    return dim
+
+
+def join_sidecar(
+    docs: DataFrame,
+    dim: DataFrame,
+    path_col: str = "path",
+    defaults: dict[str, str] | None = None,
+) -> DataFrame:
+    """Docs ⋈ sidecar: broadcast equi-join on folder (J1) + containment match
+    of dash→slash filename against the process key (J2), with the
+    reference's defaults when nothing matches (sharepoint.ts:585-593).
+    """
+    defaults = defaults or {"judge": "Desconhecido", "decision": "sem decisão"}
+    d = docs.withColumn("_folder", dirname(path_col)).withColumn(
+        "_fname_key", dash_to_slash(basename(path_col))
+    )
+    joined = d.join(
+        F.broadcast(dim),
+        (d["_folder"] == dim["folder"])
+        & (F.instr(d["_fname_key"], dim["process_key"]) > 0),
+        "left",
+    )
+    out = joined.select(
+        *[d[c] for c in docs.columns],
+        F.col("process_key"),
+        F.coalesce(F.col("judge"), F.lit(defaults["judge"])).alias("judge"),
+        F.coalesce(F.col("process_mean"), F.array()).alias("process_mean"),
+        F.coalesce(F.col("decision"), F.lit(defaults["decision"])).alias("decision"),
+    )
+    return out
+
+
+def sidecar_fixture_pages() -> list[pd.DataFrame]:
+    """The FIXTURES.md `sidecar_dim` messy input: duplicate headers + dirty
+    whitespace across two pages."""
+    page1 = pd.DataFrame(
+        [
+            ["Processo", "Relator", "Meio Processual", "Decisão", "Decisão"],
+            ["123/45", " Maria\nSilva ", "Recurso;  Apelação", "provido", "dup"],
+            ["678/90", "João  Costa", "Revista", " negado ", None],
+        ]
+    )
+    page2 = pd.DataFrame(
+        [
+            ["Processo", "Relator", "Meio Processual", "Decisão", "Decisão"],
+            [None, "Sem Chave", "X", "ignorar", None],  # null key dropped
+            ["123/45", "Outra Pessoa", "Outro", "outro", None],  # first-wins loser
+        ]
+    )
+    return [page1, page2]

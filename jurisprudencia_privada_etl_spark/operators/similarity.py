@@ -128,3 +128,77 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine", "rank")
     )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> list[list[float]]:
+    """Deterministic k-means centroids via Spark MLlib (seeded)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feat)
+    return [
+        (c.toArray().tolist() if hasattr(c, "toArray") else list(map(float, c)))
+        for c in model.clusterCenters()
+    ]
+
+
+def _nearest_centroid_expr(vec_col: Column, centroids: list[list[float]], n: int = 1) -> Column:
+    """Index array of the n nearest centroids (squared L2), as a JVM expr."""
+    dists = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(vec_col, F.array(*[F.lit(float(v)) for v in c]),
+                               lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0).cast("double"),
+                    lambda acc, v: acc + v,
+                ).alias("d"),
+                F.lit(i).alias("i"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.slice(F.transform(F.array_sort(dists), lambda s: s["i"]), 1, n)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: k-means partitions the corpus into n_lists inverted
+    lists; each query scores only the lists of its n_probe nearest
+    centroids.  Scale path: the corpus is scanned once to assign lists (a
+    pure map), the probe join is an equi-join on the small list id, and the
+    per-query candidate set shrinks by ~n_probe/n_lists."""
+    centroids = kmeans_centroids(corpus, n_lists, vec_col, seed)
+    c = corpus.withColumn(
+        "_list", _nearest_centroid_expr(F.col(vec_col), centroids, 1)[0]
+    )
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qvec")
+    ).withColumn("_probe", F.explode(_nearest_centroid_expr(F.col("_qvec"), centroids, n_probe)))
+    scored = c.join(F.broadcast(q), c["_list"] == q["_probe"]).select(
+        query_id_col,
+        id_col,
+        cosine(F.col(vec_col), F.col("_qvec")).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )

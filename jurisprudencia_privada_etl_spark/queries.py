@@ -36,7 +36,7 @@ from jurisprudencia_privada_etl_spark.operators.dedup import (
 from jurisprudencia_privada_etl_spark.operators.lww import lww_dedup
 from jurisprudencia_privada_etl_spark.operators.multimodal import extract_features, synthetic_assets
 from jurisprudencia_privada_etl_spark.operators.reconcile import missing_keys
-from jurisprudencia_privada_etl_spark.operators.similarity import dot, l2_norm, lsh_topk
+from jurisprudencia_privada_etl_spark.operators.similarity import dot, ivf_topk, l2_norm, lsh_topk
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -664,6 +664,87 @@ WHERE NOT EXISTS (SELECT 1 FROM state s WHERE s.repo = c.repo AND s.path = c.pat
 """
 
 
+def q_sidecar_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+J2: broadcast folder equi-join + dash→slash containment match with
+    fallback defaults (sharepoint.ts:585-593)."""
+    log = derived_changelog(spark, sf_dir)
+    docs = log.select("path").distinct()
+    n = _t(spark, sf_dir, "nation")
+    dim = n.select(
+        F.lit("src").alias("folder"),
+        F.col("n_nationkey").cast("string").alias("process_key"),
+        F.col("n_name").alias("judge"),
+    )
+    d = docs.withColumn("_folder", F.substring_index("path", "/", 1)).withColumn(
+        "_fname_key", F.translate(F.substring_index("path", "/", -1), "-", "/")
+    )
+    joined = d.join(
+        F.broadcast(dim),
+        (d["_folder"] == dim["folder"]) & (F.instr(d["_fname_key"], dim["process_key"]) > 0),
+        "left",
+    )
+    return (
+        joined.select(F.coalesce(F.col("judge"), F.lit("Desconhecido")).alias("judge"))
+        .groupBy("judge")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_SIDECAR_FUZZY_JOIN = f"""
+WITH {CHANGELOG_CTE},
+docs AS (SELECT DISTINCT path FROM changelog),
+dim AS (SELECT 'src' AS folder, CAST(n_nationkey AS VARCHAR) AS process_key, n_name AS judge
+        FROM nation)
+SELECT COALESCE(judge, 'Desconhecido') AS judge, COUNT(*) AS n
+FROM docs LEFT JOIN dim
+  ON string_split(docs.path, '/')[1] = dim.folder
+ AND instr(replace(string_split(docs.path, '/')[-1], '-', '/'), dim.process_key) > 0
+GROUP BY 1
+"""
+
+
+def q_complementary_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: equi-key match + arrays_overlap residual after marker removal
+    (checkAndMergeComplementary, sharepoint.ts:61-100)."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.floor(F.col("doc_id") / 20).alias("grp"),
+        F.slice(F.split(F.col("text"), " "), 1, 12).alias("meio"),
+        (F.pmod(F.col("doc_id"), F.lit(2)) == 0).alias("is_summary"),
+    )
+    s = base.where("is_summary").select(
+        F.col("doc_id").alias("id_s"),
+        F.col("grp").alias("grp_s"), F.col("meio").alias("meio_s"),
+    )
+    t = base.where(~F.col("is_summary")).select(
+        F.col("doc_id").alias("id_t"),
+        F.col("grp").alias("grp_t"), F.col("meio").alias("meio_t"),
+    )
+    pairs = s.join(
+        t, s["grp_s"] == t["grp_t"]
+    ).where(
+        F.arrays_overlap(F.array_remove("meio_s", "the"), F.array_remove("meio_t", "the"))
+    )
+    return pairs.select("id_s", "id_t")
+
+
+SQL_COMPLEMENTARY_ARRAYS = """
+WITH base AS (
+    SELECT doc_id, doc_id // 20 AS grp,
+           list_slice(string_split(text, ' '), 1, 12) AS meio,
+           doc_id % 2 = 0 AS is_summary
+    FROM documents
+)
+SELECT s.doc_id AS id_s, t.doc_id AS id_t
+FROM base s JOIN base t
+  ON s.is_summary AND NOT t.is_summary
+ AND s.grp = t.grp
+WHERE list_has_any(list_filter(s.meio, x -> x <> 'the'),
+                   list_filter(t.meio, x -> x <> 'the'))
+"""
+
+
 # -- rows-only queries (hash functions differ across engines → no SQL oracle) --
 
 def q_minhash_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -694,6 +775,12 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
     return lsh_topk(emb, q, k=5, n_planes=4, dim=64)
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    return ivf_topk(emb, q, k=5, n_lists=8, n_probe=3)
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -732,12 +819,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "first_match_map": q_first_match_map,
     "complementary_pairs": q_complementary_pairs,
     "reconcile_missing": q_reconcile_missing,
+    "sidecar_fuzzy_join": q_sidecar_fuzzy_join,
+    "complementary_arrays": q_complementary_arrays,
     # rows-only (hash-function-dependent or engine-internal):
     "minhash_dedup_count": q_minhash_dedup_count,
     "simhash_dedup_count": q_simhash_dedup_count,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "lsh_topk": q_lsh_topk,
+    "ivf_topk": q_ivf_topk,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -768,4 +858,6 @@ ORACLES: dict[str, str] = {
     "first_match_map": SQL_FIRST_MATCH_MAP,
     "complementary_pairs": SQL_COMPLEMENTARY_PAIRS,
     "reconcile_missing": SQL_RECONCILE_MISSING,
+    "sidecar_fuzzy_join": SQL_SIDECAR_FUZZY_JOIN,
+    "complementary_arrays": SQL_COMPLEMENTARY_ARRAYS,
 }

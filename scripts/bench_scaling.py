@@ -89,8 +89,13 @@ sh.rmtree(shm, ignore_errors=True)
 
 def run_level(cpus: int, n_events: int, reps: int, wd: str) -> dict:
     code = RUNNER.format(repo=REPO, cpus=cpus, n_events=n_events, reps=reps, wd=wd)
+    # taskset pins the WHOLE process tree (JVM + GC/IO threads + python
+    # workers) to `cpus` physical cores — without it, local[8] borrows the
+    # other 24 cores for GC/shuffle/Python and the comparison understates
+    # real N-node → 4N-node scaling.
     out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, check=True
+        ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", code],
+        capture_output=True, text=True, check=True,
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
@@ -167,7 +172,9 @@ def _render(n_events, reps, rows, levels) -> str:
         "Zipf-skewed repos (skew=3.0), 35% updates / 10% tombstones (seed=42).",
         "Same input replayed at local[8] and local[32] (N and 4N cores) — the",
         "sandbox stand-in for N vs 4N executors per the north rule.",
-        f"Methodology: fresh JVM per level, warmup replay + untimed cache-warm pass,",
+        f"Methodology: fresh JVM per level, pinned to its core budget with",
+        f"`taskset -c 0-{{N-1}}` (so local[8] cannot borrow the other 24 cores for",
+        f"GC/shuffle/Python workers), warmup replay + untimed cache-warm pass,",
         f"then {reps} timed runs; best + median reported (shared VM, hypervisor",
         "steal observed — see Limitations).",
         "",

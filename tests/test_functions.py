@@ -148,3 +148,10 @@ def test_html_paragraphs_and_empty_html(spark):
     assert wrapped == "<p><font>l1</font><br><p><font>l2</font><br>"
     assert one(spark, empty_html(F.lit("<p> <br/> </p>"))) is True
     assert one(spark, empty_html(F.lit("<p>texto</p>"))) is False
+
+
+def test_faceted_triple(spark):
+    from jurisprudencia_privada_etl_spark.functions.text import faceted_triple
+
+    row = spark.range(1).select(faceted_triple(F.lit("Cível")).alias("f")).first()["f"]
+    assert row["Index"] == ["Cível"] and row["Original"] == ["Cível"] and row["Show"] == ["Cível"]

@@ -1,0 +1,124 @@
+"""Sidecar dimension parse/clean/join, complementary-doc merge, reuse cache."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from jurisprudencia_privada_etl_spark.operators.complementary import (
+    match_complementary,
+    merge_complementary,
+)
+from jurisprudencia_privada_etl_spark.operators.reuse import changed_only, reuse_cached
+from jurisprudencia_privada_etl_spark.operators.sidecar import (
+    dedupe_headers,
+    join_sidecar,
+    parse_sidecar_pages,
+    sidecar_dimension,
+    sidecar_fixture_pages,
+)
+
+
+def test_dedupe_headers():
+    assert dedupe_headers(["a", "b", "a", "a", "b"]) == ["a", "b", "a_1", "a_2", "b_1"]
+
+
+def test_parse_sidecar_pages_cleaning():
+    table = parse_sidecar_pages(sidecar_fixture_pages())
+    assert list(table.columns) == ["Processo", "Relator", "Meio Processual", "Decisão", "Decisão_1"]
+    # whitespace canonicalization (newlines + runs collapsed, trimmed)
+    assert table.iloc[0]["Relator"] == "Maria Silva"
+    assert table.iloc[1]["Relator"] == "João Costa"
+    assert table.iloc[1]["Decisão"] == "negado"
+    assert len(table) == 4  # pages concatenated
+
+
+def test_sidecar_dimension_and_fuzzy_join(spark):
+    raw = spark.createDataFrame(
+        parse_sidecar_pages(sidecar_fixture_pages()).assign(folder="civel/2-3-2021")
+    )
+    dim = sidecar_dimension(spark, raw)
+    rows = {r["process_key"]: r for r in dim.collect()}
+    assert set(rows) == {"123/45", "678/90"}  # null key dropped
+    assert rows["123/45"]["judge"] == "Maria Silva"  # first-wins
+    assert rows["123/45"]["process_mean"] == ["Recurso", "Apelação"]
+
+    docs = spark.createDataFrame(
+        [
+            ("civel/2-3-2021/123-45 sentença.pdf",),   # dash→slash matches 123/45
+            ("civel/2-3-2021/678-90.pdf",),
+            ("civel/2-3-2021/999-99 sem tabela.pdf",),  # no key → defaults
+            ("outra/pasta/123-45.pdf",),                # right key, wrong folder
+        ],
+        ["path"],
+    )
+    out = {r["path"]: r for r in join_sidecar(docs, dim).collect()}
+    assert out["civel/2-3-2021/123-45 sentença.pdf"]["judge"] == "Maria Silva"
+    assert out["civel/2-3-2021/678-90.pdf"]["decision"] == "negado"
+    assert out["civel/2-3-2021/999-99 sem tabela.pdf"]["judge"] == "Desconhecido"
+    assert out["outra/pasta/123-45.pdf"]["judge"] == "Desconhecido"
+    # broadcast plan, not a shuffle join
+    plan = join_sidecar(docs, dim)._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            # pair: same (data, num_proc), overlapping mean after marker strip
+            ("2021-03-02", "123/45", ["Recurso", "Sumário"], ["linha1", "linha2"], True),
+            ("2021-03-02", "123/45", ["Recurso"], ["linha2", "linha3"], False),
+            # same key but disjoint mean → NOT complementary
+            ("2021-03-02", "678/90", ["Apelação", "Sumário"], ["a"], True),
+            ("2021-03-02", "678/90", ["Revista"], ["b"], False),
+            # unmatched single
+            ("2021-04-01", "555/55", ["Revista"], ["solo"], False),
+        ],
+        ["data", "num_proc", "meio", "content_lines", "is_summary"],
+    )
+
+
+def test_match_complementary(spark):
+    pairs = match_complementary(_docs(spark))
+    got = [(r["s_num_proc"]) for r in pairs.collect()]
+    assert got == ["123/45"]
+
+
+def test_merge_complementary(spark):
+    rows = merge_complementary(_docs(spark)).collect()
+    out = {r["num_proc"]: r for r in rows}
+    m = out["123/45"]
+    # union without duplicates, order preserved (s lines then new t lines)
+    assert m["content_lines"] == ["linha1", "linha2", "linha3"]
+    assert m["meio"] == ["Recurso"]  # marker stripped
+    assert m["merged_hash"] is not None
+    # non-complementary docs pass through (marker stripped from meio)
+    assert len(rows) == 4  # 123/45 merged + 2× 678/90 + solo
+    assert out["555/55"]["content_lines"] == ["solo"]
+
+
+def test_reuse_cached_and_changed_only(spark):
+    batch = spark.createDataFrame(
+        [("r1", "a", 11), ("r1", "b", 22), ("r1", "c", 33)], ["repo", "path", "fingerprint"]
+    )
+    cache = spark.createDataFrame(
+        [("r1", "a", 11, "CACHED-A"), ("r1", "z", 99, "CACHED-Z")],
+        ["repo", "path", "fingerprint", "enriched"],
+    )
+
+    calls = []
+
+    def compute(df):
+        calls.append(df.count())  # misses only
+        return df.withColumn("enriched", F.concat(F.lit("FRESH-"), F.col("path")))
+
+    out = {r["path"]: r["enriched"] for r in reuse_cached(
+        batch, cache, ["repo", "path"], ["enriched"], compute).collect()}
+    assert out == {"a": "CACHED-A", "b": "FRESH-b", "c": "FRESH-c"}
+    assert calls == [2]
+
+    target = spark.createDataFrame(
+        [("r1", "a", 11), ("r1", "b", 999)], ["repo", "path", "fingerprint"]
+    )
+    changed = sorted(r["path"] for r in changed_only(batch, target, ["repo", "path"]).collect())
+    assert changed == ["b", "c"]  # a unchanged; b content changed; c new
