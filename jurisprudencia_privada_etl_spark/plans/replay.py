@@ -49,6 +49,10 @@ class ReplayConfig:
     #   use_window_lww=False the intra-epoch LWW fuses into the same shuffle.
     # "join": textbook full-outer-join MERGE (kept for parity testing).
     merge_strategy: str = "agg"
+    # validate each batch (non-null keys/ordinal, known op); invalid rows go
+    # to <table>/_dead_letter/epoch=N instead of failing the job (F10 —
+    # the reference's update.file_errors side-channel, sharepoint.ts:392-396)
+    validate: bool = False
     # epoch -> schema changes to apply BEFORE that epoch's merge
     schema_evolution: dict[int, list[SchemaChange]] = field(default_factory=dict)
 
@@ -97,11 +101,21 @@ def process_epoch(
     if epoch in cfg.schema_evolution:
         sink.evolve(cfg.schema_evolution[epoch])
     payload = [c.name for c in sink.manifest().schema.columns]
+    extra: dict = {}
+    if cfg.validate:
+        from jurisprudencia_privada_etl_spark.operators.reconcile import split_valid
+
+        batch, dead = split_valid(batch, required_cols=["repo", "path", "ordinal"])
+        dead_dir = f"{sink.table_path}/_dead_letter/epoch={epoch}"
+        dead.write.mode("overwrite").parquet(dead_dir)
+        n_dead = spark.read.parquet(dead_dir).count()
+        if n_dead:
+            extra["dead_letter_rows"] = n_dead
     # touched buckets + lineage from the raw batch (cheap JVM scan) so the
     # Arrow extraction executes exactly once, inside the merge's write job
     touched, lineage = sink.key_stats(batch)
     updates = prepare_epoch_updates(spark, batch, cfg, payload)
-    return sink.merge(updates, epoch, touched=touched, lineage=lineage)
+    return sink.merge(updates, epoch, touched=touched, lineage=lineage, extra_metrics=extra)
 
 
 def replay(

@@ -259,3 +259,23 @@ def test_salted_equals_unsalted(spark, tmp_path):
     salted = replay_dataframe(spark, log, str(tmp_path / "s"), ReplayConfig(n_salts=16))
     unsalted = replay_dataframe(spark, log, str(tmp_path / "u"), ReplayConfig(n_salts=1))
     assert_state_equal(state(salted), state(unsalted))
+
+
+def test_dead_letter_channel_in_replay(spark, tmp_path):
+    """Invalid rows divert to the quarantine sink instead of failing the job
+    (F10 — update.file_errors, sharepoint.ts:392-396)."""
+    rows = [
+        (0, 1, "I", "r1", "a.py", "c", "py", "ok"),
+        (0, 2, "X", "r1", "b.py", "c", "py", "bad op"),
+        (0, 3, "I", None, "c.py", "c", "py", "no repo"),
+    ]
+    schema = "epoch long, ordinal long, op string, repo string, path string, commit string, lang string, content string"
+    log = spark.createDataFrame(rows, schema=schema)
+    path = str(tmp_path / "t")
+    sink = replay_dataframe(spark, log, path, ReplayConfig(validate=True))
+    s = state(sink)
+    assert list(s["path"]) == ["a.py"]
+    dead = spark.read.parquet(path + "/_dead_letter/epoch=0")
+    errs = sorted(r["error"] for r in dead.collect())
+    assert errs == ["missing required field: repo", "unsupported op"]
+    assert sink.manifest().metrics.get("dead_letter_rows") == 2
