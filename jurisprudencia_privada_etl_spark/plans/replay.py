@@ -45,10 +45,11 @@ class ReplayConfig:
     default_year: int = 2026  # epoch-supplied constant, never wall clock
     use_window_lww: bool = False  # row_number window vs max_by partial agg
     run_extraction: bool = True
-    # "agg": MERGE = one max_by aggregation over union(target, events); with
-    #   use_window_lww=False the intra-epoch LWW fuses into the same shuffle.
+    # "window" (default): union → one bucket shuffle → per-key window; LWW,
+    #   upsert and write layout share a single exchange (see sink docstring).
+    # "agg": union → groupBy(key).max_by — map-side partial agg, 2 shuffles.
     # "join": textbook full-outer-join MERGE (kept for parity testing).
-    merge_strategy: str = "agg"
+    merge_strategy: str = "window"
     # validate each batch (non-null keys/ordinal, known op); invalid rows go
     # to <table>/_dead_letter/epoch=N instead of failing the job (F10 —
     # the reference's update.file_errors side-channel, sharepoint.ts:392-396)

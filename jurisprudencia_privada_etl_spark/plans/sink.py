@@ -26,12 +26,16 @@ src/juris.ts:6-14, upgraded with first-class tombstones and cross-epoch LWW):
 
 with deletes retained as soft-delete rows (readers filter them; vacuum()
 GCs them past an ordinal horizon) so stale lower-ordinal events can never
-resurrect a deleted key.  Two physical strategies, property-tested equal:
+resurrect a deleted key.  Three physical strategies, property-tested equal:
 
-  * "agg" (default): LWW is a commutative reduction, so the whole MERGE is
-    ONE groupBy(key).max_by(ordinal) over union(target, events) — a single
-    shuffle with map-side partial aggregation (hot keys pre-reduce inside
-    each map task; join skew cannot occur).
+  * "window" (default): union(target, events) → ONE shuffle on the storage
+    bucket → per-key max-ordinal window (HashPartitioning(_bucket) already
+    satisfies the window's (bucket, key) clustering, so no second exchange)
+    → winners written directly, already laid out per bucket.  LWW + upsert
+    + write layout in a single shuffle per epoch.
+  * "agg": groupBy(key).max_by(ordinal) over the union — map-side partial
+    aggregation pre-reduces hot keys before the exchange (the skew story),
+    at the cost of a second shuffle to lay the output out by bucket.
   * "join": the textbook full-outer-join emulation.
 """
 
@@ -101,7 +105,7 @@ class HadoopParquetSink:
         spark: SparkSession,
         table_path: str,
         n_buckets: int = 64,
-        merge_strategy: str = "agg",  # "agg" (union + max_by) | "join" (full outer)
+        merge_strategy: str = "window",  # "window" (1-shuffle bucket window) | "agg" (union+max_by) | "join" (full outer)
     ):
         self.spark = spark
         self.table_path = table_path
@@ -320,6 +324,46 @@ class HadoopParquetSink:
             action.alias("_action"),
         )
 
+    def _merge_window(self, target: DataFrame, u: DataFrame, payload: list[str], n_parts: int) -> DataFrame:
+        """MERGE via ONE bucket shuffle + per-key window over the bucket.
+
+        union(target, events) is repartitioned by ``_bucket`` once; the
+        per-key windows (winner ordinal, live-target flag) only need rows of
+        a key co-located, and ``HashPartitioning(_bucket)`` already satisfies
+        ``ClusteredDistribution(_bucket, repo, path)`` because a key never
+        spans buckets — so Catalyst plans NO further exchange, just a sort.
+        The output stays bucket-partitioned, which also makes the pre-write
+        repartition unnecessary (see merge()).  Net: one shuffle per epoch
+        for LWW + upsert + write layout combined.
+        """
+        from pyspark.sql import Window
+
+        body = [*payload, *[n for n, _ in BOOKKEEPING], BUCKET_COLUMN]
+        tt = target.select(
+            *body, F.lit(None).cast("string").alias("op"), F.lit(1).alias("_is_target")
+        )
+        uu = u.select(*body, "op", F.lit(0).alias("_is_target"))
+        both = tt.unionByName(uu).repartition(n_parts, BUCKET_COLUMN)
+
+        w = Window.partitionBy(BUCKET_COLUMN, *KEY_COLUMNS)
+        live_target = (F.col("_is_target") == 1) & ~F.coalesce(F.col("deleted"), F.lit(False))
+        annotated = both.withColumn("_max_ord", F.max("ordinal").over(w)).withColumn(
+            "_had_live_target", F.max(live_target.cast("int")).over(w)
+        )
+        winner = annotated.where(F.col("ordinal") == F.col("_max_ord"))
+
+        won_by_update = F.col("op").isNotNull()
+        is_del = F.coalesce(F.col("deleted"), F.lit(False))
+        t_live = F.col("_had_live_target") == 1
+        action = (
+            F.when(~won_by_update, F.lit("kept"))
+            .when(is_del & t_live, F.lit("deleted"))
+            .when(is_del, F.lit("tombstone_noop"))
+            .when(t_live, F.lit("updated"))
+            .otherwise(F.lit("created"))
+        )
+        return winner.select(*body, action.alias("_action"))
+
     def merge(
         self,
         updates: DataFrame,
@@ -368,6 +412,8 @@ class HadoopParquetSink:
 
         if self.merge_strategy == "join":
             merged = self._merge_join(target, u, payload)
+        elif self.merge_strategy == "window":
+            merged = self._merge_window(target, u, payload, max(1, len(touched)))
         else:
             merged = self._merge_agg(target, u, payload)
 
@@ -389,13 +435,12 @@ class HadoopParquetSink:
 
         data_rel = os.path.join("data", f"v{new_version:08d}")
         data_dir = os.path.join(self.table_path, data_rel)
-        (
-            survivors.drop("_action")
-            .repartition(max(1, len(touched)), BUCKET_COLUMN)
-            .write.mode("overwrite")
-            .partitionBy(BUCKET_COLUMN)
-            .parquet(data_dir)
-        )
+        out = survivors.drop("_action")
+        if self.merge_strategy != "window":
+            # agg/join outputs are key-partitioned; lay them out per bucket.
+            # The window strategy is ALREADY bucket-partitioned — no shuffle.
+            out = out.repartition(max(1, len(touched)), BUCKET_COLUMN)
+        out.write.mode("overwrite").partitionBy(BUCKET_COLUMN).parquet(data_dir)
         t = _trace(f"merge({self.merge_strategy})+write", t)
         try:
             counts = obs.get

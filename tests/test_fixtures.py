@@ -239,10 +239,12 @@ def test_merge_strategies_agree(spark, tmp_path):
     j = replay_dataframe(spark, log, str(tmp_path / "join"), ReplayConfig(merge_strategy="join"))
     w = replay_dataframe(spark, log, str(tmp_path / "win"),
                          ReplayConfig(merge_strategy="join", use_window_lww=True))
+    bw = replay_dataframe(spark, log, str(tmp_path / "bwin"), ReplayConfig(merge_strategy="window"))
     expected = oracle_reduce(pdf)
     assert_state_equal(state(a), expected)
     assert_state_equal(state(j), expected)
     assert_state_equal(state(w), expected)
+    assert_state_equal(state(bw), expected)
     # run counters agree across strategies, epoch by epoch
     from jurisprudencia_privada_etl_spark.plans import manifest as mf
     for v in range(1, 4):
