@@ -63,10 +63,10 @@ def prepare_epoch_updates(
 ) -> DataFrame:
     """Steps 2-4: salt → extract → de-salt → LWW winners.
 
-    With the fused agg merge (merge_strategy="agg", use_window_lww=False) the
-    per-epoch LWW happens inside the merge's own groupBy, so no separate
-    dedup shuffle runs here — one shuffle fewer per epoch, identical output
-    (property-tested in tests/test_fixtures.py).
+    With the fused strategies ("window"/"agg", use_window_lww=False) the
+    per-epoch LWW happens inside the merge's own shuffle (bucket window /
+    key groupBy), so no separate dedup shuffle runs here — identical output,
+    property-tested in tests/test_fixtures.py::test_merge_strategies_agree.
     """
     salted = salted_repartition(batch, cfg.num_partitions, n_salts=cfg.n_salts)
     extracted = extraction_stage(salted, cfg.default_year) if cfg.run_extraction else (
