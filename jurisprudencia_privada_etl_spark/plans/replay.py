@@ -135,7 +135,8 @@ def replay(
         epochs = list_epochs(spark, changelog_path)
     last = sink.last_committed_epoch()
     for e in [e for e in epochs if e > last]:
-        batch = read_epoch(spark, changelog_path, e)
+        # evolution epochs read with footer merging so new columns surface
+        batch = read_epoch(spark, changelog_path, e, merge_schema=e in cfg.schema_evolution)
         process_epoch(spark, sink, batch, e, cfg)
     return sink
 

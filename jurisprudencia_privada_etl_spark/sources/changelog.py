@@ -20,9 +20,21 @@ def write_changelog(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).partitionBy("epoch").parquet(path)
 
 
-def read_epoch(spark: SparkSession, path: str, epoch: int) -> DataFrame:
-    """Partition-pruned scan of a single epoch."""
-    return spark.read.parquet(path).where(F.col("epoch") == epoch)
+def read_epoch(
+    spark: SparkSession, path: str, epoch: int, merge_schema: bool = False
+) -> DataFrame:
+    """Partition-pruned scan of a single epoch.
+
+    ``merge_schema`` handles changelogs whose later epochs carry evolved
+    columns (schema-evolution epochs, SURVEY.md T6): parquet footer merging
+    surfaces the union schema so the new columns are readable.  Off by
+    default — footer merging scans every file's metadata, which a 10^10-event
+    changelog cannot afford on non-evolution epochs.
+    """
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(path).where(F.col("epoch") == epoch)
 
 
 def read_epochs_after(spark: SparkSession, path: str, last_committed: int) -> DataFrame:

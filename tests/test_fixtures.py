@@ -281,3 +281,26 @@ def test_dead_letter_channel_in_replay(spark, tmp_path):
     errs = sorted(r["error"] for r in dead.collect())
     assert errs == ["missing required field: repo", "unsupported op"]
     assert sink.manifest().metrics.get("dead_letter_rows") == 2
+
+
+def test_schema_evolution_from_stored_changelog(spark, tmp_path):
+    """Evolution epochs read from DISK: epoch 1's parquet files carry the new
+    `stars` column; the replay surfaces it via footer merging and the sink
+    evolves before the merge."""
+    from pyspark.sql import types as T
+
+    from jurisprudencia_privada_etl_spark.plans.replay import replay
+    from jurisprudencia_privada_etl_spark.sources.changelog import write_changelog
+
+    clog = str(tmp_path / "clog")
+    e0 = make_log(spark, [(0, 1, "I", "r1", "a.py", "c1", "py", "v1")])
+    write_changelog(e0, clog, mode="overwrite")
+    ev_schema = T.StructType(list(CHANGELOG_SCHEMA.fields) + [T.StructField("stars", T.IntegerType(), True)])
+    e1 = spark.createDataFrame([(1, 2, "I", "r1", "b.py", "c2", "go", "v2", 7)], schema=ev_schema)
+    write_changelog(e1, clog, mode="append")
+
+    cfg = ReplayConfig(schema_evolution={1: [SchemaChange("add", "stars", dtype="int")]})
+    sink = replay(spark, clog, str(tmp_path / "t"), cfg)
+    out = {r["path"]: r for r in sink.load().collect()}
+    assert out["b.py"]["stars"] == 7
+    assert pd.isna(out["a.py"]["stars"]) or out["a.py"]["stars"] is None
