@@ -55,7 +55,11 @@ def split_valid(
         (F.col(c).isNull(), f"missing required field: {c}") for c in required_cols
     ]
     if "op" in df.columns:
-        checks.append((~F.col("op").isin(*supported_ops), "unsupported op"))
+        # isNull first: ``~isin`` evaluates to NULL (not true) for a null op,
+        # which would let null-op rows sail through the where() below.
+        checks.append(
+            (F.col("op").isNull() | ~F.col("op").isin(*supported_ops), "unsupported op")
+        )
     err = F.lit(None).cast("string")
     for cond, msg in reversed(checks):
         err = F.when(cond, F.lit(msg)).otherwise(err)

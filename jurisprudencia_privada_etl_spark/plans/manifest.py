@@ -67,6 +67,23 @@ class Manifest:
         )
 
 
+EPOCH_PROPERTY = "etl.last-committed-epoch"
+
+
+def epoch_already_applied(last_committed: int | str | None, epoch: int) -> bool:
+    """Exactly-once gate shared by every sink (T3).
+
+    ``last_committed`` is whatever the sink's commit metadata stores — the
+    manifest's ``last_committed_epoch`` int for HadoopParquetSink, the
+    ``etl.last-committed-epoch`` table/snapshot property string for
+    IcebergSink (absent/None = nothing committed).  Returns True when
+    ``epoch`` was already applied and the merge must be skipped.
+    """
+    if last_committed is None:
+        return False
+    return int(last_committed) >= epoch
+
+
 def _mdir(table_path: str) -> str:
     return os.path.join(table_path, MANIFEST_DIR)
 

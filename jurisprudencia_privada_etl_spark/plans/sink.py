@@ -298,8 +298,13 @@ class HadoopParquetSink:
         uu = u.select(*body, "op", F.lit(0).alias("_is_target"))
         both = tt.unionByName(uu)
 
+        # Ordering key is (ordinal, _is_target): on an ordinal tie the TARGET
+        # row wins, matching the join/window strategies' strict
+        # ``u.ordinal > t.ordinal`` semantics (struct comparison is
+        # lexicographic and orderable in max_by).
         winner = F.max_by(
-            F.struct(*[c for c in [*body, "op"] if c not in KEY_COLUMNS]), F.col("ordinal")
+            F.struct(*[c for c in [*body, "op"] if c not in KEY_COLUMNS]),
+            F.struct(F.col("ordinal"), F.col("_is_target")),
         ).alias("_w")
         live_target = (F.col("_is_target") == 1) & ~F.coalesce(F.col("deleted"), F.lit(False))
         agg = both.groupBy(*KEY_COLUMNS).agg(
@@ -345,12 +350,21 @@ class HadoopParquetSink:
         uu = u.select(*body, "op", F.lit(0).alias("_is_target"))
         both = tt.unionByName(uu).repartition(n_parts, BUCKET_COLUMN)
 
-        w = Window.partitionBy(BUCKET_COLUMN, *KEY_COLUMNS)
-        live_target = (F.col("_is_target") == 1) & ~F.coalesce(F.col("deleted"), F.lit(False))
-        annotated = both.withColumn("_max_ord", F.max("ordinal").over(w)).withColumn(
-            "_had_live_target", F.max(live_target.cast("int")).over(w)
+        # Deterministic single winner per key: on an ordinal tie (malformed
+        # changelog / external source without the uniqueness guarantee) the
+        # TARGET row wins — matching the join strategy's strict
+        # ``u.ordinal > t.ordinal`` guard — so the primary-key invariant holds
+        # for any input and all three strategies agree.  Both window exprs
+        # share the (partition, order) spec → ONE WindowExec, one sort.
+        w_ord = Window.partitionBy(BUCKET_COLUMN, *KEY_COLUMNS).orderBy(
+            F.col("ordinal").desc(), F.col("_is_target").desc()
         )
-        winner = annotated.where(F.col("ordinal") == F.col("_max_ord"))
+        w_all = w_ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        live_target = (F.col("_is_target") == 1) & ~F.coalesce(F.col("deleted"), F.lit(False))
+        annotated = both.withColumn("_rn", F.row_number().over(w_ord)).withColumn(
+            "_had_live_target", F.max(live_target.cast("int")).over(w_all)
+        )
+        winner = annotated.where(F.col("_rn") == 1)
 
         won_by_update = F.col("op").isNotNull()
         is_del = F.coalesce(F.col("deleted"), F.lit(False))
@@ -385,7 +399,7 @@ class HadoopParquetSink:
         ``updates``, which costs one extra pass over its plan.
         """
         m = self.manifest()
-        if m.last_committed_epoch >= epoch:
+        if mf.epoch_already_applied(m.last_committed_epoch, epoch):
             return {"skipped": True, "epoch": epoch, "reason": "already committed"}
         cur = m.schema
         payload = cur.names()
@@ -576,7 +590,7 @@ class IcebergSink:
         ddl = ", ".join(f"{c.name} {c.dtype}" for c in schema.columns)
         self.spark.sql(
             f"CREATE TABLE IF NOT EXISTS {self.table} ({ddl}, ordinal bigint, "
-            f"content_sha string) USING iceberg "
+            f"content_sha string, deleted boolean) USING iceberg "
             f"PARTITIONED BY (bucket(64, repo))"
         )
 
@@ -587,31 +601,70 @@ class IcebergSink:
             elif ch.kind == "rename":
                 self.spark.sql(f"ALTER TABLE {self.table} RENAME COLUMN {ch.name} TO {ch.new_name}")
 
+    def last_committed_epoch(self) -> int:  # pragma: no cover
+        """Epoch stamp from the table property set at each commit (falls back
+        to the latest snapshot's summary for tables stamped via write
+        options).  -1 = nothing committed."""
+        rows = self.spark.sql(f"SHOW TBLPROPERTIES {self.table}").collect()
+        props = {r["key"]: r["value"] for r in rows}
+        v = props.get(mf.EPOCH_PROPERTY)
+        if v is None:
+            snap = self.spark.sql(
+                f"SELECT summary['{mf.EPOCH_PROPERTY}'] AS e FROM {self.table}.snapshots "
+                f"ORDER BY committed_at DESC LIMIT 1"
+            ).collect()
+            v = snap[0]["e"] if snap else None
+        return int(v) if v is not None else -1
+
     def merge(self, updates: DataFrame, epoch: int, extra_metrics=None) -> dict:  # pragma: no cover
-        last = self.spark.sql(
-            f"SELECT snapshot_id FROM {self.table}.snapshots ORDER BY committed_at DESC LIMIT 1"
-        )
-        # epoch stamp kept in snapshot summary via write option; skip if the
-        # latest snapshot already carries this epoch id (exactly-once).
+        """Same merge contract as HadoopParquetSink.merge (shared gate:
+        manifest.epoch_already_applied):
+
+        * exactly-once — skip when the epoch stamp says ``>= epoch``;
+        * tombstones are RETAINED as soft-delete rows (``deleted = true``)
+          with their ordinal, so a stale lower-ordinal event in a later
+          epoch cannot resurrect a deleted key (identical to the parquet
+          sink's soft-delete model; Iceberg's own row filtering handles GC
+          via a DELETE-past-horizon vacuum).
+
+        The epoch stamp is a table property set AFTER the MERGE commits, so
+        stamp-then-crash cannot lose data; crash BETWEEN merge and stamp
+        re-runs the epoch, which the strict ``s.ordinal > t.ordinal`` guard
+        makes a row-level no-op (every row already carries its ordinal,
+        tombstones included) — idempotent either way.
+        """
+        if mf.epoch_already_applied(self.last_committed_epoch(), epoch):
+            return {"skipped": True, "epoch": epoch, "reason": "already committed"}
         updates.createOrReplaceTempView("_updates")
         cols = [c for c in updates.columns if c not in ("op",)]
         sets = ", ".join(f"t.{c} = s.{c}" for c in cols)
-        ins_cols = ", ".join(cols)
-        ins_vals = ", ".join(f"s.{c}" for c in cols)
+        sets += ", t.deleted = (s.op = 'D')"
+        ins_cols = ", ".join([*cols, "deleted"])
+        ins_vals = ", ".join([*[f"s.{c}" for c in cols], "(s.op = 'D')"])
         self.spark.sql(
             f"""
             MERGE INTO {self.table} t
             USING _updates s
             ON t.repo = s.repo AND t.path = s.path
-            WHEN MATCHED AND s.op = 'D' AND s.ordinal > t.ordinal THEN DELETE
-            WHEN MATCHED AND s.op <> 'D' AND s.ordinal > t.ordinal THEN UPDATE SET {sets}
-            WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT ({ins_cols}) VALUES ({ins_vals})
+            WHEN MATCHED AND s.ordinal > t.ordinal THEN UPDATE SET {sets}
+            WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})
             """
+        )
+        self.spark.sql(
+            f"ALTER TABLE {self.table} SET TBLPROPERTIES ('{mf.EPOCH_PROPERTY}'='{epoch}')"
         )
         return {"epoch": epoch, "engine": "iceberg"}
 
+    def vacuum(self, retain_after_ordinal: int) -> dict:  # pragma: no cover
+        """GC soft-deleted rows past the ordinal horizon (same contract as
+        HadoopParquetSink.vacuum)."""
+        self.spark.sql(
+            f"DELETE FROM {self.table} WHERE deleted AND ordinal < {retain_after_ordinal}"
+        )
+        return {"vacuum_below": retain_after_ordinal}
+
     def load(self) -> DataFrame:  # pragma: no cover
-        return self.spark.table(self.table)
+        return self.spark.table(self.table).where(~F.coalesce(F.col("deleted"), F.lit(False)))
 
 
 def open_sink(spark: SparkSession, location: str, n_buckets: int = 64):

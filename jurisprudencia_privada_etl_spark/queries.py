@@ -19,7 +19,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from jurisprudencia_privada_etl_spark.functions.hashing import canonical_hash, deterministic_uuid
 from jurisprudencia_privada_etl_spark.functions.paths import date_from_path, first_match_map
+from jurisprudencia_privada_etl_spark.functions.text import faceted_triple
 from jurisprudencia_privada_etl_spark.functions.textstats import (
     STOPWORDS,
     doc_fingerprint,
@@ -33,6 +35,7 @@ from jurisprudencia_privada_etl_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_dedup,
 )
+from jurisprudencia_privada_etl_spark.operators.complementary import merge_complementary
 from jurisprudencia_privada_etl_spark.operators.lww import lww_dedup
 from jurisprudencia_privada_etl_spark.operators.multimodal import extract_features, synthetic_assets
 from jurisprudencia_privada_etl_spark.operators.reconcile import missing_keys
@@ -174,7 +177,7 @@ def q_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_BROADCAST_DIM_JOIN = """
 SELECT c_mktsegment,
        COUNT(*) AS n_orders,
-       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS sum_cents
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """
@@ -354,7 +357,7 @@ def q_agg_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_AGG_COUNTERS = """
 SELECT event_type,
        COUNT(*) AS n,
-       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_cents,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
        COUNT(DISTINCT user_id) AS n_users,
        MIN(event_id) AS min_id,
        MAX(event_id) AS max_id
@@ -378,10 +381,10 @@ SQL_LINEAGE_COUNTS = f"""
 WITH {CHANGELOG_CTE}
 SELECT epoch,
        COUNT(*) AS events,
-       SUM(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS inserts,
-       SUM(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS updates,
-       SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS deletes,
-       SUM(length(content)) AS bytes
+       CAST(SUM(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT) AS inserts,
+       CAST(SUM(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS updates,
+       CAST(SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS deletes,
+       CAST(SUM(length(content)) AS BIGINT) AS bytes
 FROM changelog GROUP BY epoch
 """
 
@@ -561,9 +564,9 @@ def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_WINDOW_ANALYTICS = """
 SELECT user_id, event_id,
        lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type,
-       SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
            PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
-       ) AS roll_cents
+       ) AS BIGINT) AS roll_cents
 FROM events
 """
 
@@ -745,6 +748,190 @@ WHERE list_has_any(list_filter(s.meio, x -> x <> 'the'),
 """
 
 
+def q_canonical_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10: canonical field-subset hash, nulls folded to '' with a NUL
+    separator (aux.ts:101-111).  nullif() manufactures nulls so the
+    null-canonicalization path is actually exercised."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        canonical_hash(
+            F.nullif(F.col("lang"), F.lit("en")),
+            F.col("source"),
+            F.substring(F.col("text"), 1, 40),
+            F.col("n_chars").cast("string"),
+        ).alias("canon_hash"),
+    )
+
+
+SQL_CANONICAL_HASH = """
+SELECT doc_id,
+       sha256(concat_ws(chr(0),
+           coalesce(nullif(lang, 'en'), ''),
+           coalesce(source, ''),
+           coalesce(substr(text, 1, 40), ''),
+           coalesce(CAST(n_chars AS VARCHAR), ''))) AS canon_hash
+FROM documents
+"""
+
+
+def q_deterministic_uuid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X11: stable UUID-shaped id from the canonical hash (aux.ts:113,
+    juris.ts:9-13) — the idempotent upsert anchor."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        deterministic_uuid(F.sha2(F.col("text"), 256)).alias("doc_uuid"),
+    )
+
+
+SQL_DETERMINISTIC_UUID = """
+WITH h AS (SELECT doc_id, sha256(text) AS hh FROM documents)
+SELECT doc_id,
+       substr(hh, 1, 8) || '-' || substr(hh, 9, 4) || '-' || substr(hh, 13, 4)
+       || '-' || substr(hh, 17, 4) || '-' || substr(hh, 21, 12) AS doc_uuid
+FROM h
+"""
+
+
+def q_faceted_triple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X18: {Index, Original, Show} parallel-array facet (aux.ts:70, 86-99),
+    JSON-encoded so the cross-engine value compare is a plain string."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.to_json(faceted_triple("lang", "source")).alias("facet_json"),
+    )
+
+
+SQL_FACETED_TRIPLE = """
+SELECT doc_id,
+       to_json(struct_pack(
+           "Index" := [lang, source],
+           "Original" := [lang, source],
+           "Show" := [lang, source])) AS facet_json
+FROM documents
+"""
+
+
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13: explicit from_json with a declared schema + to_json re-serialize
+    (the reference's JSON boundaries: sharepoint.ts:564-569, 712-716;
+    pdf_parser.py:54)."""
+    e = _t(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT").getField("k")
+    return e.select(
+        "event_id",
+        k.alias("k"),
+        F.to_json(F.struct(k.alias("k"), F.col("event_type").alias("kind"))).alias("j"),
+    )
+
+
+SQL_JSON_ROUNDTRIP = """
+SELECT event_id,
+       CAST(json_extract(props, 'k') AS INT) AS k,
+       to_json(struct_pack(k := CAST(json_extract(props, 'k') AS INT),
+                           kind := event_type)) AS j
+FROM events
+"""
+
+
+def q_complementary_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3+O2-O4 output shape: the full match→merge→passthrough pass
+    (checkAndMergeComplementary + mergeIntoDocument, sharepoint.ts:52-146).
+
+    Input arrays are constructed internally-distinct (an index suffix on the
+    content lines) so DuckDB's list_filter/list_contains can emulate Spark's
+    dedup-on-first-occurrence array_union/array_except exactly.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_lines = F.greatest(F.least(F.size(toks), F.lit(5)), F.lit(1))
+    lines = F.transform(
+        F.sequence(F.lit(1), n_lines),
+        lambda i: F.concat(
+            F.coalesce(F.try_element_at(toks, i), F.lit("")), F.lit(":"), i.cast("string")
+        ),
+    )
+    pair_key = F.floor(F.col("doc_id") / 2)
+    mk = F.concat(F.lit("m"), F.pmod(pair_key, F.lit(3)).cast("string"))
+    is_summary = F.pmod(F.col("doc_id"), F.lit(2)) == 0
+    # ~1 in 5 text docs get a non-overlapping meio → exercises the
+    # unmatched-passthrough branch of merge_complementary.
+    t_mean0 = F.when(F.pmod(F.col("doc_id"), F.lit(10)) == 1, F.lit("zz")).otherwise(mk)
+    meio = F.when(is_summary, F.array(F.lit("Sumário"), mk)).otherwise(
+        F.array(t_mean0, F.concat(F.lit("x"), F.pmod(F.col("doc_id"), F.lit(4)).cast("string")))
+    )
+    docs = d.select(
+        F.concat(F.lit("d"), pair_key.cast("string")).alias("data"),
+        F.concat(F.lit("p"), F.pmod(pair_key, F.lit(5)).cast("string")).alias("num_proc"),
+        lines.alias("content_lines"),
+        meio.alias("meio"),
+        is_summary.alias("is_summary"),
+    )
+    out = merge_complementary(docs)
+    return out.select(
+        "data",
+        "num_proc",
+        F.array_join("content_lines", "|").alias("lines_j"),
+        F.array_join("meio", ";").alias("meio_j"),
+        "merged_hash",
+    )
+
+
+SQL_COMPLEMENTARY_MERGE = """
+WITH docs AS (
+    SELECT 'd' || CAST(doc_id // 2 AS VARCHAR)              AS data,
+           'p' || CAST((doc_id // 2) % 5 AS VARCHAR)        AS num_proc,
+           list_transform(
+               range(1, greatest(least(len(string_split(text, ' ')), 5), 1) + 1),
+               i -> coalesce(string_split(text, ' ')[i], '') || ':' || CAST(i AS VARCHAR)
+           )                                                AS content_lines,
+           CASE WHEN doc_id % 2 = 0
+                THEN ['Sumário', 'm' || CAST((doc_id // 2) % 3 AS VARCHAR)]
+                ELSE [CASE WHEN doc_id % 10 = 1 THEN 'zz'
+                           ELSE 'm' || CAST((doc_id // 2) % 3 AS VARCHAR) END,
+                      'x' || CAST(doc_id % 4 AS VARCHAR)]
+           END                                              AS meio,
+           doc_id % 2 = 0                                   AS is_summary
+    FROM documents
+),
+pairs AS (
+    SELECT s.data, s.num_proc,
+           s.content_lines AS s_lines, t.content_lines AS t_lines,
+           s.meio AS s_meio, t.meio AS t_meio
+    FROM docs s JOIN docs t
+      ON s.is_summary AND NOT t.is_summary
+     AND s.data = t.data AND s.num_proc = t.num_proc
+    WHERE list_has_any(list_filter(s.meio, x -> x <> 'Sumário'),
+                       list_filter(t.meio, x -> x <> 'Sumário'))
+),
+merged AS (
+    SELECT data, num_proc,
+           list_concat(s_lines, list_filter(t_lines, x -> NOT list_contains(s_lines, x))) AS content_lines,
+           list_filter(list_concat(s_meio, list_filter(t_meio, x -> NOT list_contains(s_meio, x))),
+                       x -> x <> 'Sumário') AS meio
+    FROM pairs
+),
+unmatched AS (
+    SELECT d.data, d.num_proc, d.content_lines,
+           list_filter(d.meio, x -> x <> 'Sumário') AS meio
+    FROM docs d
+    WHERE NOT EXISTS (SELECT 1 FROM merged m WHERE m.data = d.data AND m.num_proc = d.num_proc)
+),
+unioned AS (
+    SELECT * FROM merged UNION ALL SELECT * FROM unmatched
+)
+SELECT data, num_proc,
+       array_to_string(content_lines, '|') AS lines_j,
+       array_to_string(meio, ';')          AS meio_j,
+       sha256(concat_ws(chr(0), data, num_proc,
+                        array_to_string(content_lines, chr(10)),
+                        array_to_string(meio, ';'))) AS merged_hash
+FROM unioned
+"""
+
+
 # -- rows-only queries (hash functions differ across engines → no SQL oracle) --
 
 def q_minhash_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -821,6 +1008,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "reconcile_missing": q_reconcile_missing,
     "sidecar_fuzzy_join": q_sidecar_fuzzy_join,
     "complementary_arrays": q_complementary_arrays,
+    "canonical_hash": q_canonical_hash,
+    "deterministic_uuid": q_deterministic_uuid,
+    "faceted_triple": q_faceted_triple,
+    "json_roundtrip": q_json_roundtrip,
+    "complementary_merge": q_complementary_merge,
     # rows-only (hash-function-dependent or engine-internal):
     "minhash_dedup_count": q_minhash_dedup_count,
     "simhash_dedup_count": q_simhash_dedup_count,
@@ -860,4 +1052,9 @@ ORACLES: dict[str, str] = {
     "reconcile_missing": SQL_RECONCILE_MISSING,
     "sidecar_fuzzy_join": SQL_SIDECAR_FUZZY_JOIN,
     "complementary_arrays": SQL_COMPLEMENTARY_ARRAYS,
+    "canonical_hash": SQL_CANONICAL_HASH,
+    "deterministic_uuid": SQL_DETERMINISTIC_UUID,
+    "faceted_triple": SQL_FACETED_TRIPLE,
+    "json_roundtrip": SQL_JSON_ROUNDTRIP,
+    "complementary_merge": SQL_COMPLEMENTARY_MERGE,
 }

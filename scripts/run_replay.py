@@ -33,7 +33,7 @@ def main() -> None:
     ap.add_argument("--table", required=True, help="lake table path")
     ap.add_argument("--n-buckets", type=int, default=64)
     ap.add_argument("--n-salts", type=int, default=16)
-    ap.add_argument("--merge-strategy", choices=["agg", "join"], default="agg")
+    ap.add_argument("--merge-strategy", choices=["window", "agg", "join"], default="window")
     ap.add_argument("--window-lww", action="store_true", help="row_number-window LWW")
     ap.add_argument("--streaming", action="store_true", help="Structured Streaming variant")
     ap.add_argument("--checkpoint", help="streaming checkpoint dir (required with --streaming)")

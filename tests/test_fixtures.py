@@ -304,3 +304,62 @@ def test_schema_evolution_from_stored_changelog(spark, tmp_path):
     out = {r["path"]: r for r in sink.load().collect()}
     assert out["b.py"]["stars"] == 7
     assert pd.isna(out["a.py"]["stars"]) or out["a.py"]["stars"] is None
+
+
+def test_epoch_gate_shared_helper():
+    """T3: the exactly-once gate both sinks share (manifest.epoch_already_applied)."""
+    from jurisprudencia_privada_etl_spark.plans.manifest import epoch_already_applied
+
+    assert not epoch_already_applied(None, 0)        # nothing committed yet
+    assert not epoch_already_applied(-1, 0)          # fresh manifest
+    assert epoch_already_applied(0, 0)               # replay of committed epoch
+    assert epoch_already_applied(3, 2)               # older epoch re-delivered
+    assert not epoch_already_applied(3, 4)           # next epoch proceeds
+    assert epoch_already_applied("3", 3)             # Iceberg property is a string
+
+
+def test_ordinal_tie_is_deterministic_across_strategies(spark, tmp_path):
+    """A malformed changelog with duplicate ordinals for one key must still
+    yield exactly ONE row per key, the SAME row under every merge strategy,
+    and the target must win a target-vs-update ordinal tie (the strict
+    `u.ordinal > t.ordinal` MERGE guard)."""
+    e0 = make_log(spark, [
+        (0, 5, "I", "r1", "a.py", "c5", "py", "target-content"),
+        (0, 3, "I", "r1", "b.py", "c3", "py", "b-content"),
+    ])
+    # epoch 1 replays ordinal 5 for a.py with DIFFERENT content (tie vs
+    # target) and carries an internal tie for c.py (two rows, ordinal 7).
+    e1 = make_log(spark, [
+        (1, 5, "U", "r1", "a.py", "cX", "py", "tie-must-lose"),
+        (1, 7, "I", "r1", "c.py", "c7", "py", "c-first"),
+        (1, 7, "I", "r1", "c.py", "c7", "py", "c-first"),
+    ])
+    states = {}
+    for strat in ("window", "agg", "join"):
+        p = str(tmp_path / strat)
+        sink = replay_dataframe(spark, e0, p, ReplayConfig(merge_strategy=strat))
+        replay_dataframe(spark, e1, p, ReplayConfig(merge_strategy=strat))
+        s = state(HadoopParquetSink(spark, p))
+        # primary-key invariant holds even with the tie
+        assert list(s["path"]) == ["a.py", "b.py", "c.py"], strat
+        # target wins the a.py ordinal tie
+        assert s.loc[s["path"] == "a.py", "content"].iloc[0] == "target-content", strat
+        states[strat] = s
+    assert_state_equal(states["window"], states["agg"])
+    assert_state_equal(states["window"], states["join"])
+
+
+def test_null_op_goes_to_dead_letter(spark, tmp_path):
+    """A NULL op must be quarantined, not silently merged with deleted=NULL
+    (the ~isin() three-valued-logic trap)."""
+    rows = [
+        (0, 1, "I", "r1", "a.py", "c", "py", "ok"),
+        (0, 2, None, "r1", "b.py", "c", "py", "null op"),
+    ]
+    schema = "epoch long, ordinal long, op string, repo string, path string, commit string, lang string, content string"
+    log = spark.createDataFrame(rows, schema=schema)
+    path = str(tmp_path / "t")
+    sink = replay_dataframe(spark, log, path, ReplayConfig(validate=True))
+    assert list(state(sink)["path"]) == ["a.py"]
+    dead = spark.read.parquet(path + "/_dead_letter/epoch=0")
+    assert [r["error"] for r in dead.collect()] == ["unsupported op"]
