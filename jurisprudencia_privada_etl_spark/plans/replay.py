@@ -56,6 +56,11 @@ class ReplayConfig:
     validate: bool = False
     # epoch -> schema changes to apply BEFORE that epoch's merge
     schema_evolution: dict[int, list[SchemaChange]] = field(default_factory=dict)
+    # changelog fields to diff against the live target row per epoch; every
+    # differing field becomes a (key, field, current, new) row under
+    # <table>/_conflicts/epoch=N (S14 — the reference's Current/New conflict
+    # index, report.ts:43-110).  None/[] disables the report.
+    conflict_fields: list[str] = field(default_factory=list)
 
 
 def prepare_epoch_updates(
@@ -115,6 +120,20 @@ def process_epoch(
     # touched buckets + lineage from the raw batch (cheap JVM scan) so the
     # Arrow extraction executes exactly once, inside the merge's write job
     touched, lineage = sink.key_stats(batch)
+    if cfg.conflict_fields:
+        from jurisprudencia_privada_etl_spark.operators.conflicts import conflict_report
+
+        # raw LWW winners (no extraction — conflict fields are changelog
+        # columns) vs the live rows of the touched buckets only: the join
+        # input is bounded by the epoch's footprint, not the table size.
+        conf = conflict_report(
+            sink.load(buckets=touched), lww_dedup_agg(batch), cfg.conflict_fields
+        )
+        conf_dir = f"{sink.table_path}/_conflicts/epoch={epoch}"
+        conf.write.mode("overwrite").parquet(conf_dir)
+        n_conf = spark.read.parquet(conf_dir).count()
+        if n_conf:
+            extra["conflict_rows"] = n_conf
     updates = prepare_epoch_updates(spark, batch, cfg, payload)
     return sink.merge(updates, epoch, touched=touched, lineage=lineage, extra_metrics=extra)
 

@@ -36,6 +36,7 @@ from jurisprudencia_privada_etl_spark.operators.dedup import (
     simhash_dedup,
 )
 from jurisprudencia_privada_etl_spark.operators.complementary import merge_complementary
+from jurisprudencia_privada_etl_spark.operators.conflicts import conflict_report
 from jurisprudencia_privada_etl_spark.operators.lww import lww_dedup
 from jurisprudencia_privada_etl_spark.operators.multimodal import extract_features, synthetic_assets
 from jurisprudencia_privada_etl_spark.operators.reconcile import missing_keys
@@ -932,6 +933,50 @@ FROM unioned
 """
 
 
+def q_conflict_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14: per-field Current/New conflict rows (report.ts:43-110) — epoch 3's
+    winning updates diffed against the live state converged from epochs 0-2."""
+    log = derived_changelog(spark, sf_dir)
+    hist = log.where(F.col("epoch") < 3)
+    target = lww_dedup(hist, ["repo", "path"], "ordinal").where(F.col("op") != "D")
+    upd = lww_dedup(log.where(F.col("epoch") == 3), ["repo", "path"], "ordinal")
+    return conflict_report(target, upd, ["lang", "content", "commit"])
+
+
+SQL_CONFLICT_REPORT = f"""
+WITH {CHANGELOG_CTE},
+t AS (
+    SELECT repo, path, ordinal, commit, lang, content FROM (
+        SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY ordinal DESC) rn
+        FROM changelog WHERE epoch < 3
+    ) WHERE rn = 1 AND op <> 'D'
+),
+u AS (
+    SELECT repo, path, ordinal, commit, lang, content FROM (
+        SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY ordinal DESC) rn
+        FROM changelog WHERE epoch = 3
+    ) WHERE rn = 1 AND op <> 'D'
+),
+j AS (
+    SELECT u.repo, u.path, t.ordinal AS target_ordinal, u.ordinal AS update_ordinal,
+           t.lang AS t_lang, u.lang AS u_lang,
+           t.content AS t_content, u.content AS u_content,
+           t.commit AS t_commit, u.commit AS u_commit
+    FROM u JOIN t ON u.repo = t.repo AND u.path = t.path
+    WHERE u.ordinal > t.ordinal
+)
+SELECT repo, path, 'lang' AS field, t_lang AS current, u_lang AS new,
+       target_ordinal, update_ordinal
+FROM j WHERE t_lang IS DISTINCT FROM u_lang
+UNION ALL
+SELECT repo, path, 'content', t_content, u_content, target_ordinal, update_ordinal
+FROM j WHERE t_content IS DISTINCT FROM u_content
+UNION ALL
+SELECT repo, path, 'commit', t_commit, u_commit, target_ordinal, update_ordinal
+FROM j WHERE t_commit IS DISTINCT FROM u_commit
+"""
+
+
 # -- rows-only queries (hash functions differ across engines → no SQL oracle) --
 
 def q_minhash_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1013,6 +1058,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "faceted_triple": q_faceted_triple,
     "json_roundtrip": q_json_roundtrip,
     "complementary_merge": q_complementary_merge,
+    "conflict_report": q_conflict_report,
     # rows-only (hash-function-dependent or engine-internal):
     "minhash_dedup_count": q_minhash_dedup_count,
     "simhash_dedup_count": q_simhash_dedup_count,
@@ -1057,4 +1103,5 @@ ORACLES: dict[str, str] = {
     "faceted_triple": SQL_FACETED_TRIPLE,
     "json_roundtrip": SQL_JSON_ROUNDTRIP,
     "complementary_merge": SQL_COMPLEMENTARY_MERGE,
+    "conflict_report": SQL_CONFLICT_REPORT,
 }

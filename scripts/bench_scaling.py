@@ -48,8 +48,16 @@ wd = {wd!r}
 import os as _os
 shm = "/dev/shm/scaling_%d" % cpus
 _os.makedirs(shm, exist_ok=True)
+# n_buckets must exceed the LARGEST core budget by enough waves: the merge's
+# write job runs len(touched) <= n_buckets tasks, so 64 buckets capped the
+# 32-thread level at 2 waves (the round-1 efficiency miss).  128 = 4 waves
+# at 32 / 16 waves at 8; both levels use the SAME value for a fair ratio.
+# At 100 TB n_buckets is sized to ~1 GB of data per bucket (>> cores), so
+# production never sees this cap.
+N_BUCKETS = 128
+CFG = lambda: ReplayConfig(n_buckets=N_BUCKETS)
 spark = get_spark("scaling-%d" % cpus, master="local[%d]" % cpus, extra_conf={{
-    "spark.sql.shuffle.partitions": str(cpus * 2),
+    "spark.sql.shuffle.partitions": str(cpus * 4),
     "spark.sql.adaptive.enabled": "false",
     # shuffle + sink IO on tmpfs: the sandbox has ONE fixed local disk,
     # which a real cluster does not (per-executor disks + scalable object
@@ -60,8 +68,8 @@ spark.sparkContext.setLogLevel("ERROR")
 
 # warmup: small full replay (JIT, python workers) + one untimed full pass
 import shutil as sh
-replay(spark, wd + "/wclog", shm + "/warmtable", ReplayConfig())
-replay(spark, wd + "/clog", shm + "/cachewarm", ReplayConfig())
+replay(spark, wd + "/wclog", shm + "/warmtable", CFG())
+replay(spark, wd + "/clog", shm + "/cachewarm", CFG())
 sh.rmtree(shm + "/warmtable", ignore_errors=True)
 sh.rmtree(shm + "/cachewarm", ignore_errors=True)
 
@@ -69,7 +77,7 @@ full = []
 for r in range(reps):
     table = shm + "/t_%d" % r
     t0 = time.time()
-    replay(spark, wd + "/clog", table, ReplayConfig())
+    replay(spark, wd + "/clog", table, CFG())
     full.append(time.time() - t0)
     sh.rmtree(table, ignore_errors=True)
 

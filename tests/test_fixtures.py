@@ -363,3 +363,34 @@ def test_null_op_goes_to_dead_letter(spark, tmp_path):
     assert list(state(sink)["path"]) == ["a.py"]
     dead = spark.read.parquet(path + "/_dead_letter/epoch=0")
     assert [r["error"] for r in dead.collect()] == ["unsupported op"]
+
+
+def test_conflict_report_sink_in_replay(spark, tmp_path):
+    """S14: an epoch's winning updates that change configured fields emit
+    (key, field, current, new) rows to _conflicts/epoch=N (report.ts:43-110)."""
+    e0 = make_log(spark, [
+        (0, 1, "I", "r1", "a.py", "c1", "py", "original"),
+        (0, 2, "I", "r1", "b.py", "c2", "py", "same"),
+        (0, 3, "I", "r1", "c.py", "c3", "py", "dying"),
+    ])
+    e1 = make_log(spark, [
+        (1, 10, "U", "r1", "a.py", "c1", "go", "changed"),   # lang + content conflict
+        (1, 11, "U", "r1", "b.py", "c2", "py", "same"),      # no field differs → no row
+        (1, 12, "D", "r1", "c.py", "c3", "py", ""),          # delete → never a conflict
+        (1, 13, "I", "r1", "new.py", "c4", "py", "fresh"),   # no target row → no conflict
+    ])
+    path = str(tmp_path / "t")
+    cfg = ReplayConfig(conflict_fields=["lang", "content"])
+    replay_dataframe(spark, e0, path, cfg)
+    sink = replay_dataframe(spark, e1, path, cfg)
+    conf = spark.read.parquet(path + "/_conflicts/epoch=1").toPandas()
+    conf = conf.sort_values("field").reset_index(drop=True)
+    assert list(conf["path"].unique()) == ["a.py"]
+    assert list(conf["field"]) == ["content", "lang"]
+    assert list(conf["current"]) == ["original", "py"]
+    assert list(conf["new"]) == ["changed", "go"]
+    assert sink.manifest().metrics.get("conflict_rows") == 2
+    # epoch 0 bootstraps into an empty table: no conflicts possible
+    import os
+    assert not os.path.exists(path + "/_conflicts/epoch=0") or \
+        spark.read.parquet(path + "/_conflicts/epoch=0").count() == 0
