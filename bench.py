@@ -63,7 +63,9 @@ def bench_replay(spark, n_events: int, cpus: int, reps: int = 2) -> dict:
         num_partitions=gen_parts,
     )
     write_changelog(log, clog)
-    cfg = ReplayConfig(n_salts=16, n_buckets=64)
+    # n_buckets >= 4x cores so the merge's write job (len(touched) tasks)
+    # never caps thread utilization — see BENCH/BASELINE.md scaling notes
+    cfg = ReplayConfig(n_salts=16, n_buckets=128)
 
     old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -125,6 +127,38 @@ def main() -> None:
                 query_times[name] = -1.0
                 print(f"query {name} failed: {e}", file=sys.stderr)
 
+    # ANN quality: recall@5 of the approximate indexes vs brute force on the
+    # same embeddings/queries the *_topk queries use (an approximate index
+    # without a measured recall number is not a deliverable)
+    ann_recall: dict[str, float] = {}
+    if os.environ.get("BENCH_SKIP_QUERIES") != "1":
+        try:
+            from pyspark.sql import functions as F
+
+            from jurisprudencia_privada_etl_spark.operators.similarity import (
+                brute_force_topk,
+                ivf_topk,
+                lsh_topk,
+                mean_recall_at_k,
+            )
+
+            emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+            q = emb.where(F.col("vec_id") < 5).select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            )
+            exact = brute_force_topk(emb, q, k=5).cache()
+            exact.count()
+            ann_recall["lsh@5"] = round(
+                mean_recall_at_k(lsh_topk(emb, q, k=5, n_planes=4, dim=64), exact, 5), 3
+            )
+            ann_recall["ivf@5"] = round(
+                mean_recall_at_k(ivf_topk(emb, q, k=5, n_lists=8, n_probe=3), exact, 5), 3
+            )
+            exact.unpersist()
+            emb.unpersist()
+        except Exception as e:  # noqa: BLE001
+            print(f"recall measurement failed: {e}", file=sys.stderr)
+
     total = replay_stats["seconds"] + sum(t for t in query_times.values() if t > 0)
     out = {
         "metric": "cdc_replay_plus_query_suite_wall_seconds",
@@ -133,6 +167,7 @@ def main() -> None:
         "queries": query_times,
         "sf": sf,
         "replay": replay_stats,
+        "ann_recall": ann_recall,
         "cpus": cpus,
     }
     print(json.dumps(out))

@@ -7,6 +7,7 @@ are tiny literals baked into the plan.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -43,6 +44,39 @@ def lang_id(col: Column | str, langs: list[str] | None = None) -> Column:
     )
     best = F.array_max(scores)  # struct ordering: score first, then lang
     return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def lang_id_pandas(col: Column | str, langs: list[str] | None = None) -> Column:
+    """Arrow-vectorized language ID — same decision rule as ``lang_id``
+    (argmax of stopword-hit ratio, ties broken by language code, 'und' when
+    nothing matches), one tokenize + set-membership pass per row instead of
+    one interpreted higher-order filter per language.  Semantics are
+    identical by construction (same stopword tables, same tie-break) and
+    asserted equal in tests."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    langs = langs or list(STOPWORDS)
+    tables = [(lg, frozenset(STOPWORDS[lg])) for lg in langs]
+
+    @pandas_udf(T.StringType())
+    def lid(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = [w for w in (t or "").lower().split() if w]
+            if not toks:
+                out.append("und")
+                continue
+            best_score, best_lang = 0.0, None
+            for lg, sw in tables:
+                score = sum(1 for w in toks if w in sw) / len(toks)
+                # max on (score, lang) — the struct ordering of the expr form
+                if score > best_score or (score == best_score and best_lang is not None and lg > best_lang):
+                    best_score, best_lang = score, lg
+            out.append(best_lang if best_score > 0 else "und")
+        return pd.Series(out)
+
+    return lid(F.col(col) if isinstance(col, str) else col)
 
 
 def token_count(col: Column | str) -> Column:

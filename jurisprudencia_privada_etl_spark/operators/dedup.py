@@ -260,6 +260,57 @@ def simhash(col: Column | str, seed: int = 42) -> Column:
     return out
 
 
+def simhash_pandas(col: Column | str, seed: int = 42) -> Column:
+    """Arrow-vectorized 64-bit simhash (the scale path).
+
+    The expression form above folds 64 interpreted higher-order ``aggregate``
+    lambdas per row (HOFs are not codegen'd in practice — see the minhash
+    note); here one pandas UDF hashes each token once (blake2b, deterministic
+    across processes) and computes all 64 bit votes as a single numpy
+    broadcast: bits[(n_tokens, 64)] → sign of the ±1 column sums.
+
+    Hash family differs from the JVM form (blake2b vs xxhash64), so
+    signatures are not bit-identical across ``impl=`` — near-dup SEMANTICS
+    are equivalent and property-tested; pick one impl per table.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.LongType())
+    def sig(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        seed_bytes = seed.to_bytes(8, "little", signed=False)
+        shifts = np.arange(64, dtype=np.uint64)
+        out = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = [w for w in (t or "").lower().split() if w]
+            if not toks:
+                out[i] = 0
+                continue
+            hs = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.blake2b(w.encode(), digest_size=8, key=seed_bytes).digest(),
+                        "little",
+                    )
+                    for w in toks
+                ),
+                dtype=np.uint64,
+                count=len(toks),
+            )
+            bits = (hs[:, None] >> shifts[None, :]) & np.uint64(1)  # (n, 64)
+            votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+            word = np.uint64(0)
+            for b in np.nonzero(votes > 0)[0]:
+                word |= np.uint64(1) << np.uint64(b)
+            out[i] = word.astype(np.int64)
+        return pd.Series(out)
+
+    return sig(F.col(col) if isinstance(col, str) else col)
+
+
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit signatures: bit_count(xor)."""
     return F.bit_count(a.bitwiseXOR(b))
@@ -272,12 +323,14 @@ def simhash_dedup(
     max_hamming: int = 3,
     band_bits: int = 16,
     seed: int = 42,
+    impl: str = "pandas",  # "pandas" (Arrow-vectorized, default) | "expr" (pure JVM)
 ) -> DataFrame:
     """Near-dup removal by simhash: band the 64-bit signature into 4×16-bit
     chunks (pigeonhole: ≤3 differing bits → at least one identical chunk),
     bucket-join on chunks, verify full hamming distance."""
     n_bands = 64 // band_bits
-    sig = df.select(F.col(id_col), simhash(text_col, seed).alias("_sim"))
+    mk = simhash_pandas if impl == "pandas" else simhash
+    sig = df.select(F.col(id_col), mk(text_col, seed).alias("_sim"))
     mask = (1 << band_bits) - 1
     banded = sig.select(
         id_col,

@@ -5,12 +5,14 @@ extension: string}`` (sharepoint.ts:658-675, 266-283).  Here a multimodal
 asset is a row ``(asset_id, media_type, data: binary, meta: struct)`` and all
 per-asset compute is ``mapInPandas`` over Arrow batches.
 
-The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so the
-decode kernels are stubbed: ``decode_stub_mode='fake'`` produces
-deterministic features derived from the bytes (testable plumbing),
-``'strict'`` raises NotImplementedError where the real library call belongs.
-The Spark-side contract — schemas, batch iteration, partitioning — is real
-and tested; swapping in a real decoder touches only the marked kernels.
+Two modalities are REAL decoders (no external codec needed — see
+functions/codecs.py): WAV/PCM16 audio via the stdlib ``wave`` module and
+24-bit BMP images via a direct header parse; features come from the decoded
+samples/pixels.  Video has no stdlib codec, so its kernel stays a stub.
+Modes: ``'auto'`` (default) — real decode when the payload is WAV/BMP,
+deterministic fake features otherwise; ``'strict'`` — real decode or
+NotImplementedError (no silent fakes); ``'fake'`` — always fake (plumbing
+tests).
 """
 
 from __future__ import annotations
@@ -23,6 +25,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from jurisprudencia_privada_etl_spark.functions import codecs
 
 ASSET_SCHEMA = T.StructType(
     [
@@ -58,41 +62,76 @@ FEATURES_SCHEMA = T.StructType(
 
 
 def synthetic_assets(spark, n: int, seed: int = 42) -> DataFrame:
-    """Deterministic fake binary assets for testing the plumbing."""
-    media = F.element_at(
-        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-        (F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(3)) + 1).cast("int"),
-    )
-    payload = F.encode(
-        F.concat(F.lit("BLOB:"), F.sha2(F.concat(F.lit(seed), F.col("id")), 256)), "utf-8"
-    )
-    return spark.range(n).select(
-        F.col("id").alias("asset_id"),
-        media.alias("media_type"),
-        payload.alias("data"),
-        F.struct(
-            F.lit(64).alias("width"),
-            F.lit(64).alias("height"),
-            (F.pmod(F.xxhash64("id"), F.lit(10000))).cast("int").alias("duration_ms"),
-            F.lit("fake").alias("codec"),
-        ).alias("meta"),
-    )
+    """Deterministic binary assets: REAL WAV bytes for audio rows, REAL BMP
+    bytes for image rows (decodable by the real kernels), an opaque blob for
+    video rows (whose kernel is a stub).  Generated inside Arrow batches —
+    never on the driver."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                kind = ("image", "audio", "video")[(i + seed) % 3]
+                if kind == "audio":
+                    # 0.05s sine at a per-asset frequency, 8 kHz PCM16
+                    t = np.arange(400) / 8000.0
+                    freq = 100.0 + (i * 37 + seed) % 200
+                    wav = codecs.encode_wav(
+                        (np.sin(2 * np.pi * freq * t) * 12000).astype("<i2")
+                    )
+                    rows.append((i, kind, wav, None, None, 50, "pcm16"))
+                elif kind == "image":
+                    # 8×8 deterministic gradient
+                    base = (i * 31 + seed) % 200
+                    px = (
+                        np.arange(8)[:, None, None] * 16
+                        + np.arange(8)[None, :, None] * 2
+                        + np.arange(3)[None, None, :] * 40
+                        + base
+                    ) % 256
+                    bmp = codecs.encode_bmp(px.astype(np.uint8))
+                    rows.append((i, kind, bmp, 8, 8, None, "bmp24"))
+                else:
+                    blob = b"BLOB:" + hashlib.sha256(f"{seed}:{i}".encode()).digest()
+                    rows.append((i, kind, blob, 64, 64, (i * 97) % 10000, "fake"))
+            yield pd.DataFrame(
+                {
+                    "asset_id": [r[0] for r in rows],
+                    "media_type": [r[1] for r in rows],
+                    "data": [r[2] for r in rows],
+                    "meta": [
+                        {"width": r[3], "height": r[4], "duration_ms": r[5], "codec": r[6]}
+                        for r in rows
+                    ],
+                }
+            )
+
+    return spark.range(n).mapInPandas(gen, schema=ASSET_SCHEMA)
 
 
 def _decode_kernel(data: bytes, media_type: str, mode: str) -> np.ndarray:
-    """STUB — replace with PIL.Image.open / librosa.load / ffmpeg frame
-    sampling in a container that has the codec libraries."""
-    if mode == "strict":
-        raise NotImplementedError(
-            f"real {media_type} decode requires codec libraries not present "
-            "in this container; run with decode_stub_mode='fake'"
-        )
+    """Real decode for WAV (stdlib wave) and 24-bit BMP (codecs.py); video
+    and unknown payloads fall back per mode ('auto' → deterministic fake,
+    'strict' → NotImplementedError, the slot where ffmpeg/PIL would go)."""
+    data = data or b""
+    if mode != "fake":
+        if codecs.is_wav(data):
+            return codecs.wav_features(data, FEATURE_DIM)
+        if codecs.is_bmp(data):
+            return codecs.bmp_features(data, FEATURE_DIM)
+        if mode == "strict":
+            raise NotImplementedError(
+                f"real {media_type} decode for this payload requires codec "
+                "libraries not present in this container (only WAV/BMP have "
+                "stdlib decoders); run with decode_stub_mode='auto' or 'fake'"
+            )
     # deterministic fake features: bytes → sha256 → 16 floats in [0,1)
-    h = hashlib.sha256(data or b"").digest()
+    h = hashlib.sha256(data).digest()
     return np.frombuffer(h[: FEATURE_DIM * 2], dtype=np.uint16).astype(np.float32) / 65535.0
 
 
-def extract_features(df: DataFrame, decode_stub_mode: str = "fake") -> DataFrame:
+def extract_features(df: DataFrame, decode_stub_mode: str = "auto") -> DataFrame:
     """Decode + featurize each asset — one Arrow batch at a time.
 
     Partitioning note: assets are large blobs; upstream should
@@ -123,23 +162,33 @@ def extract_features(df: DataFrame, decode_stub_mode: str = "fake") -> DataFrame
     return df.mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
-def resize_images(df: DataFrame, width: int, height: int, decode_stub_mode: str = "fake") -> DataFrame:
-    """Resize stub: real implementation decodes, resizes, re-encodes.  The
-    fake mode passes bytes through and rewrites meta dims — enough to test
-    schema and batching."""
+def resize_images(df: DataFrame, width: int, height: int, decode_stub_mode: str = "auto") -> DataFrame:
+    """Image resize.  REAL for BMP payloads: decode → nearest-neighbor
+    resize (numpy indexing) → re-encode (codecs.py).  Non-BMP payloads:
+    'auto' passes bytes through with meta rewritten (the old stub), 'strict'
+    raises where the PIL call would go, 'fake' never decodes."""
     out_schema = ASSET_SCHEMA
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            if decode_stub_mode == "strict":
-                raise NotImplementedError("image resize requires PIL; not in container")
+            data_out = []
+            for d in pdf["data"]:
+                d = d or b""
+                if decode_stub_mode != "fake" and codecs.is_bmp(d):
+                    px = codecs.decode_bmp(d)
+                    data_out.append(codecs.encode_bmp(codecs.resize_nearest(px, width, height)))
+                elif decode_stub_mode == "strict":
+                    raise NotImplementedError(
+                        "non-BMP image resize requires PIL; not in container"
+                    )
+                else:
+                    data_out.append(d)
             meta = pd.DataFrame(list(pdf["meta"]))
             meta["width"] = width
             meta["height"] = height
-            pdf = pdf.assign(meta=meta.to_dict("records"))
-            yield pdf
+            yield pdf.assign(data=data_out, meta=meta.to_dict("records"))
 
     return df.where(F.col("media_type") == "image").mapInPandas(run, schema=out_schema)
 

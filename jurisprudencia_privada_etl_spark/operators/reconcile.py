@@ -73,41 +73,49 @@ def dead_letter_map_in_pandas(df: DataFrame, fn, out_fields: list[T.StructField]
     """Wrap a per-batch pandas transform so row-level failures emit
     (row-identifier, error) rows instead of failing the task (F10).
 
-    ``fn(pdf) -> pdf`` may raise per batch; a failing batch is retried
-    row-at-a-time so only genuinely bad rows land in the dead letter.
-    Returns (ok DataFrame, dead DataFrame built on key columns + error).
+    SINGLE-PASS: one ``mapInPandas`` emits a union schema (``out_fields`` +
+    ``error``); ok and dead are filters over that one tagged frame, so ``fn``
+    runs exactly once per healthy batch.  A failing batch is retried
+    row-at-a-time so only genuinely bad rows land in the dead letter — the
+    only case where ``fn`` sees a row twice.
+
+    ``fn(pdf) -> pdf`` must carry the key columns through to its output (it
+    is a per-row transform; keys identify dead rows).  Returns
+    (ok, dead, tagged): ok has ``out_fields``, dead has key columns +
+    ``error``, ``tagged`` is the underlying union frame — persist it before
+    consuming BOTH ok and dead, or Spark re-executes the plan (and ``fn``)
+    once per consumer.
     """
-    ok_schema = T.StructType(out_fields)
-    err_schema = T.StructType(
-        [f for f in df.schema.fields if f.name in KEY_COLUMNS]
-        + [T.StructField("error", T.StringType(), True)]
+    names = [f.name for f in out_fields]
+    keys = [k for k in KEY_COLUMNS if k in df.columns and k in names]
+    union_schema = T.StructType(
+        list(out_fields) + [T.StructField("error", T.StringType(), True)]
     )
 
-    def run_ok(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             try:
-                yield fn(pdf)[ok_schema.fieldNames()]
+                res = fn(pdf)[names].copy()
+                res["error"] = None
+                yield res
             except Exception:
-                good = []
+                parts = []
                 for i in range(len(pdf)):
                     row = pdf.iloc[[i]]
                     try:
-                        good.append(fn(row))
-                    except Exception:
-                        continue
-                if good:
-                    yield pd.concat(good)[ok_schema.fieldNames()]
-
-    def run_err(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            try:
-                fn(pdf)
-            except Exception:
-                for i in range(len(pdf)):
-                    row = pdf.iloc[[i]]
-                    try:
-                        fn(row)
+                        r = fn(row)[names].copy()
+                        r["error"] = None
+                        parts.append(r)
                     except Exception as e:  # noqa: PERF203
-                        yield row[KEY_COLUMNS].assign(error=f"{type(e).__name__}: {e}")
+                        bad = pd.DataFrame({n: [None] for n in names})
+                        for k in keys:
+                            bad[k] = row[k].values
+                        bad["error"] = f"{type(e).__name__}: {e}"
+                        parts.append(bad)
+                if parts:
+                    yield pd.concat(parts, ignore_index=True)
 
-    return df.mapInPandas(run_ok, ok_schema), df.mapInPandas(run_err, err_schema)
+    tagged = df.mapInPandas(run, union_schema)
+    ok = tagged.where(F.col("error").isNull()).select(*names)
+    dead = tagged.where(F.col("error").isNotNull()).select(*keys, "error")
+    return ok, dead, tagged

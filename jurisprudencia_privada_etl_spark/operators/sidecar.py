@@ -73,6 +73,11 @@ def parse_sidecar_pages(pages: list[pd.DataFrame]) -> pd.DataFrame:
     Each page's first row is its header (as the reference's table extraction
     yields); headers are cleaned + dedup-suffixed, cells cleaned, pages
     concatenated (pd.concat, pdf_parser.py:49).
+
+    Emits an explicit ``_row`` ordinal — the (page, row) document order —
+    which sidecar_dimension's first-wins reduce keys on.  The reference's
+    "first" is PDF document order (sharepoint.ts:526-533); an explicit
+    ordinal keeps it stable under any Spark partitioning.
     """
     frames = []
     for page in pages:
@@ -84,7 +89,9 @@ def parse_sidecar_pages(pages: list[pd.DataFrame]) -> pd.DataFrame:
         frames.append(body.applymap(clean_cell) if hasattr(body, "applymap") else body.map(clean_cell))
     if not frames:
         return pd.DataFrame()
-    return pd.concat(frames, ignore_index=True)
+    out = pd.concat(frames, ignore_index=True)
+    out["_row"] = range(len(out))
+    return out
 
 
 def sidecar_dimension(
@@ -94,9 +101,22 @@ def sidecar_dimension(
     judge_col: str = "Relator",
     mean_col: str = "Meio Processual",
     decision_col: str = "Decisão",
+    order_col: str = "_row",
 ) -> DataFrame:
     """Cleaned raw rows (folder + parsed columns) → keyed dimension:
-    first-wins per process key, null keys dropped (A1, sharepoint.ts:526-533)."""
+    first-wins per process key, null keys dropped (A1, sharepoint.ts:526-533).
+
+    "First" is decided by ``order_col`` — the explicit (page, row) ordinal
+    parse_sidecar_pages emits — NOT by physical row order, so the dimension
+    is identical under any repartitioning (property-tested in
+    tests/test_sidecar_complementary.py).
+    """
+    if order_col not in raw.columns:
+        raise ValueError(
+            f"sidecar_dimension needs an explicit order column {order_col!r} "
+            "(parse_sidecar_pages emits it); physical row order is not "
+            "deterministic under Spark partitioning"
+        )
     w_first = F.min_by(
         F.struct(F.col(judge_col).alias("judge"),
                  F.transform(
@@ -106,11 +126,10 @@ def sidecar_dimension(
                      lambda c: F.trim(c),
                  ).alias("process_mean"),
                  F.col(decision_col).alias("decision")),
-        F.col("_row"),
+        F.col(order_col),
     ).alias("_v")
     dim = (
-        raw.withColumn("_row", F.monotonically_increasing_id())
-        .where(F.col(key_col).isNotNull())
+        raw.where(F.col(key_col).isNotNull())
         .groupBy("folder", F.col(key_col).alias("process_key"))
         .agg(w_first)
         .select("folder", "process_key", "_v.judge", "_v.process_mean", "_v.decision")

@@ -95,6 +95,12 @@ def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def _probe_masks(n_planes: int, n_probe_bits: int) -> list[int]:
+    """All XOR masks with popcount <= n_probe_bits — the multi-probe set.
+    Tiny (C(n, <=m)); computed at plan time, enters the plan as literals."""
+    return [m for m in range(1 << n_planes) if bin(m).count("1") <= n_probe_bits]
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -105,22 +111,42 @@ def lsh_topk(
     n_planes: int = 4,
     seed: int = 42,
     dim: int | None = None,
+    n_probe_bits: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: only candidates sharing the query's LSH bucket are
-    scored.  Equi-join on the bucket id replaces the cross join — the corpus
-    is scanned once and shuffled on a uniform bucket key."""
+    """Approximate top-k: only candidates sharing (a probe of) the query's
+    LSH bucket are scored.  Equi-join on the bucket id replaces the cross
+    join — the corpus is scanned once and shuffled on a uniform bucket key.
+
+    Multi-probe: each query also probes every bucket within Hamming distance
+    ``n_probe_bits`` of its own (the standard multi-probe LSH recall fix for
+    vectors that land near a hyperplane).  Only the SMALL broadcast query
+    side fans out (x sum(C(n_planes, <=m))); the corpus is never duplicated.
+    ``n_probe_bits=0`` restores single-bucket probing.
+    """
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_planes, seed)
     c = corpus.withColumn("_bucket", lsh_bucket(F.col(vec_col), planes))
-    q = queries.select(
-        F.col(query_id_col),
-        F.col(vec_col).alias("_qvec"),
-    ).withColumn("_bucket", lsh_bucket(F.col("_qvec"), planes))
-    scored = c.join(F.broadcast(q), "_bucket").select(
-        F.col(query_id_col),
-        F.col(id_col),
-        cosine(F.col(vec_col), F.col("_qvec")).alias("cosine"),
+    masks = _probe_masks(n_planes, n_probe_bits)
+    q = (
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
+        .withColumn("_home", lsh_bucket(F.col("_qvec"), planes))
+        .withColumn(
+            "_bucket",
+            F.explode(F.array(*[F.col("_home").bitwiseXOR(F.lit(m)) for m in masks])),
+        )
+        .drop("_home")
+    )
+    scored = (
+        c.join(F.broadcast(q), "_bucket")
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            cosine(F.col(vec_col), F.col("_qvec")).alias("cosine"),
+        )
+        # a candidate can match through several probed buckets — dedupe the
+        # pair before ranking or top-k would repeat it
+        .dropDuplicates([query_id_col, id_col])
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
@@ -128,6 +154,75 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine", "rank")
     )
+
+
+def recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-query recall@k of an approximate top-k result against the exact
+    one: |approx∩exact within rank<=k| / min(k, |exact@k|).  Both inputs are
+    (query_id, vec_id, ..., rank) frames as produced by *_topk."""
+    a = approx.where(F.col("rank") <= k).select(query_id_col, id_col)
+    e = exact.where(F.col("rank") <= k).select(query_id_col, id_col)
+    hits = a.join(e, [query_id_col, id_col], "inner").groupBy(query_id_col).agg(
+        F.count("*").alias("_hits")
+    )
+    denom = e.groupBy(query_id_col).agg(F.count("*").alias("_n"))
+    return denom.join(hits, query_id_col, "left").select(
+        query_id_col,
+        (F.coalesce(F.col("_hits"), F.lit(0)) / F.col("_n")).alias("recall"),
+    )
+
+
+def mean_recall_at_k(approx: DataFrame, exact: DataFrame, k: int, **kw) -> float:
+    row = recall_at_k(approx, exact, k, **kw).agg(F.avg("recall").alias("r")).first()
+    return float(row["r"]) if row["r"] is not None else 0.0
+
+
+def embedding_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
+    n_probe_bits: int = 1,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate removal (the last dedup family
+    member): LSH sign-buckets generate candidate pairs, exact cosine >=
+    threshold verifies, the higher id of each confirmed pair is dropped.
+
+    Scale shape mirrors minhash-LSH dedup: the self-join is an equi-join on
+    a uniform bucket key (multi-probe fans the LEFT side out by
+    sum(C(n_planes, <=m)) to catch near-dups split by a hyperplane), cosine
+    runs only on candidates, and no all-pairs product ever forms.
+    Approximate by construction — a near-dup pair differing in > m sign bits
+    is missed; raise n_probe_bits (or lower n_planes) for recall, at
+    candidate-volume cost."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    masks = _probe_masks(n_planes, n_probe_bits)
+    base = df.select(F.col(id_col), F.col(vec_col)).withColumn(
+        "_home", lsh_bucket(F.col(vec_col), planes)
+    )
+    a = base.withColumn(
+        "_b", F.explode(F.array(*[F.col("_home").bitwiseXOR(F.lit(m)) for m in masks]))
+    ).select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "_b")
+    b = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), F.col("_home").alias("_b"))
+    dup_ids = (
+        a.join(b, ["_b"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cosine(F.col("_va"), F.col("_vb")) >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(dup_ids, id_col, "left_anti")
 
 
 def kmeans_centroids(
@@ -178,13 +273,19 @@ def ivf_topk(
     n_lists: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN: k-means partitions the corpus into n_lists inverted
     lists; each query scores only the lists of its n_probe nearest
     centroids.  Scale path: the corpus is scanned once to assign lists (a
     pure map), the probe join is an equi-join on the small list id, and the
-    per-query candidate set shrinks by ~n_probe/n_lists."""
-    centroids = kmeans_centroids(corpus, n_lists, vec_col, seed)
+    per-query candidate set shrinks by ~n_probe/n_lists.
+
+    Pass ``centroids`` (from a prior ``kmeans_centroids`` call, persisted
+    however you like — they're a plain list of floats) to skip the index
+    build: at scale the k-means fit is a one-time cost, not per-query."""
+    if centroids is None:
+        centroids = kmeans_centroids(corpus, n_lists, vec_col, seed)
     c = corpus.withColumn(
         "_list", _nearest_centroid_expr(F.col(vec_col), centroids, 1)[0]
     )

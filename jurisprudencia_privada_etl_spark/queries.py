@@ -25,7 +25,7 @@ from jurisprudencia_privada_etl_spark.functions.text import faceted_triple
 from jurisprudencia_privada_etl_spark.functions.textstats import (
     STOPWORDS,
     doc_fingerprint,
-    lang_id,
+    lang_id_pandas,
     subword_count,
     token_count,
 )
@@ -995,7 +995,11 @@ def q_simhash_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    return d.select(lang_id("text").alias("lang")).groupBy("lang").agg(F.count("*").alias("n"))
+    return (
+        d.select(lang_id_pandas("text").alias("lang"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+    )
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1013,6 +1017,17 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
     return ivf_topk(emb, q, k=5, n_lists=8, n_probe=3)
+
+
+def q_embedding_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup removal over a doubled corpus (rows-only:
+    LSH bucket assignment depends on engine-internal float folds)."""
+    from jurisprudencia_privada_etl_spark.operators.similarity import embedding_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    doubled = emb.unionByName(emb.withColumn("vec_id", F.col("vec_id") + 1_000_000))
+    out = embedding_dedup(doubled, threshold=0.99, n_planes=8, dim=64)
+    return out.agg(F.count("*").alias("n_vecs"))
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1066,6 +1081,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "lsh_topk": q_lsh_topk,
     "ivf_topk": q_ivf_topk,
+    "embedding_dedup_count": q_embedding_dedup_count,
     "multimodal_features": q_multimodal_features,
 }
 

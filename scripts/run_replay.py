@@ -35,6 +35,10 @@ def main() -> None:
     ap.add_argument("--n-salts", type=int, default=16)
     ap.add_argument("--merge-strategy", choices=["window", "agg", "join"], default="window")
     ap.add_argument("--window-lww", action="store_true", help="row_number-window LWW")
+    ap.add_argument(
+        "--conflict-fields",
+        help="comma-separated changelog fields to diff into <table>/_conflicts/epoch=N (S14)",
+    )
     ap.add_argument("--streaming", action="store_true", help="Structured Streaming variant")
     ap.add_argument("--checkpoint", help="streaming checkpoint dir (required with --streaming)")
     ap.add_argument("--vacuum-below", type=int, help="GC tombstones below this ordinal, then exit")
@@ -58,6 +62,11 @@ def main() -> None:
         merge_strategy=args.merge_strategy,
         use_window_lww=args.window_lww,
         default_year=args.default_year,
+        conflict_fields=(
+            [f.strip() for f in args.conflict_fields.split(",") if f.strip()]
+            if args.conflict_fields
+            else []
+        ),
     )
 
     if args.vacuum_below is not None:

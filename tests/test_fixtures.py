@@ -394,3 +394,61 @@ def test_conflict_report_sink_in_replay(spark, tmp_path):
     import os
     assert not os.path.exists(path + "/_conflicts/epoch=0") or \
         spark.read.parquet(path + "/_conflicts/epoch=0").count() == 0
+
+
+def test_repair_queue_late_sidecar_lifecycle(spark, tmp_path):
+    """S7 end-to-end: a key indexed before its sidecar existed is marked,
+    the repair pass re-derives it WITH the late sidecar, replaces it in the
+    table (ordinal retained — repair is not an event), and clears the
+    markers (sharepoint.ts:159-193)."""
+    from pyspark.sql import functions as F
+
+    from jurisprudencia_privada_etl_spark.operators.repair_queue import (
+        enqueue,
+        list_batches,
+        process_repair_queue,
+    )
+
+    rows = [
+        (0, 1, "I", "r1", "a.py", "c1", "py", "content-a"),
+        (0, 2, "I", "r1", "b.py", "c2", "py", "content-b"),
+        (0, 3, "D", "r1", "dead.py", "c3", "py", ""),
+    ]
+    log = make_log(spark, rows)
+    path = str(tmp_path / "t")
+    sink = replay_dataframe(spark, log, path)
+    before = {r["path"]: r for r in sink.load().collect()}
+    assert before["a.py"]["area"] != "civel-late"
+
+    enqueue(
+        spark.createDataFrame([("r1", "a.py")], ["repo", "path"]), path, "sidecar missing"
+    )
+    assert list_batches(path) == [0]
+
+    def enrich(winners):
+        # the late sidecar is now available: recompute derived fields
+        return winners.withColumn("area", F.lit("civel-late")).withColumn(
+            "content_sha", F.sha2(F.col("content"), 256)
+        )
+
+    res = process_repair_queue(spark, sink, log, enrich)
+    assert res["repaired_keys"] == 1
+    assert res["cleared_batches"] == 1
+    assert list_batches(path) == []  # markers cleared
+
+    after = {r["path"]: r for r in sink.load().collect()}
+    assert after["a.py"]["area"] == "civel-late"
+    assert after["a.py"]["ordinal"] == 1          # ordinal preserved
+    assert after["a.py"]["content"] == "content-a"
+    assert after["b.py"]["content"] == "content-b"  # co-bucketed rows carry over
+    assert "dead.py" not in after                   # tombstone winner stays out
+
+    # idempotent: a crash between rewrite and clear re-runs with the same
+    # markers and converges to the same state
+    enqueue(spark.createDataFrame([("r1", "a.py")], ["repo", "path"]), path, "retry")
+    res2 = process_repair_queue(spark, sink, log, enrich)
+    assert res2["repaired_keys"] == 1
+    again = {r["path"]: r for r in sink.load().collect()}
+    assert again["a.py"]["area"] == "civel-late" and again["a.py"]["ordinal"] == 1
+    # resume offset untouched: repair is not an epoch
+    assert sink.last_committed_epoch() == 0

@@ -25,7 +25,10 @@ def test_dedupe_headers():
 
 def test_parse_sidecar_pages_cleaning():
     table = parse_sidecar_pages(sidecar_fixture_pages())
-    assert list(table.columns) == ["Processo", "Relator", "Meio Processual", "Decisão", "Decisão_1"]
+    assert list(table.columns) == [
+        "Processo", "Relator", "Meio Processual", "Decisão", "Decisão_1", "_row"
+    ]
+    assert list(table["_row"]) == [0, 1, 2, 3]  # explicit (page, row) ordinal
     # whitespace canonicalization (newlines + runs collapsed, trimmed)
     assert table.iloc[0]["Relator"] == "Maria Silva"
     assert table.iloc[1]["Relator"] == "João Costa"
@@ -122,3 +125,84 @@ def test_reuse_cached_and_changed_only(spark):
     )
     changed = sorted(r["path"] for r in changed_only(batch, target, ["repo", "path"]).collect())
     assert changed == ["b", "c"]  # a unchanged; b content changed; c new
+
+
+def test_sidecar_dimension_deterministic_under_repartition(spark):
+    """First-wins keys on the explicit _row ordinal, so the dimension is
+    IDENTICAL under any physical partitioning (the monotonically_increasing_id
+    trap this replaces was partition-layout-dependent)."""
+    raw_pdf = parse_sidecar_pages(sidecar_fixture_pages()).assign(folder="f")
+    base = spark.createDataFrame(raw_pdf)
+    def snap(df):
+        return sorted(
+            (r["process_key"], r["judge"], tuple(r["process_mean"]), r["decision"])
+            for r in sidecar_dimension(spark, df).collect()
+        )
+    expected = snap(base)
+    for k in (1, 2, 3, 7):
+        assert snap(base.repartition(k)) == expected, k
+
+    # missing the ordinal is a hard error, not silent nondeterminism
+    import pytest
+    with pytest.raises(ValueError, match="_row"):
+        sidecar_dimension(spark, base.drop("_row"))
+
+
+def test_dead_letter_wrapper_single_pass(spark, tmp_path):
+    """fn runs exactly ONCE per healthy batch (no double execution), and a
+    failing batch falls back to per-row retry with bad rows quarantined."""
+    import os
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from jurisprudencia_privada_etl_spark.operators.reconcile import (
+        dead_letter_map_in_pandas,
+    )
+
+    calls_dir = str(tmp_path / "calls")
+    os.makedirs(calls_dir)
+
+    def fn(pdf):
+        with open(os.path.join(calls_dir, uuid.uuid4().hex), "w") as f:
+            f.write(str(len(pdf)))
+        if (pdf["content"] == "BOOM").any():
+            raise ValueError("poison row")
+        out = pdf.copy()
+        out["n"] = out["content"].str.len()
+        return out
+
+    out_fields = [
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("content", T.StringType()),
+        T.StructField("n", T.IntegerType()),
+    ]
+
+    # healthy batch: exactly one fn call
+    good = spark.createDataFrame(
+        [("r1", "a.py", "hello"), ("r1", "b.py", "yo")], ["repo", "path", "content"]
+    ).repartition(1)
+    ok, dead, _ = dead_letter_map_in_pandas(good, fn, out_fields)
+    assert {(r["path"], r["n"]) for r in ok.collect()} == {("a.py", 5), ("b.py", 2)}
+    assert len(os.listdir(calls_dir)) == 1
+
+    # poisoned batch of 3: 1 batch call + 3 row retries; 1 dead row
+    for f in os.listdir(calls_dir):
+        os.remove(os.path.join(calls_dir, f))
+    bad = spark.createDataFrame(
+        [("r1", "a.py", "fine"), ("r1", "b.py", "BOOM"), ("r1", "c.py", "alsofine")],
+        ["repo", "path", "content"],
+    ).repartition(1)
+    ok, dead, tagged = dead_letter_map_in_pandas(bad, fn, out_fields)
+    tagged = tagged.persist()
+    try:
+        ok = tagged.where(F.col("error").isNull())
+        dead = tagged.where(F.col("error").isNotNull())
+        assert {r["path"] for r in ok.collect()} == {"a.py", "c.py"}
+        drows = dead.collect()
+        assert [r["path"] for r in drows] == ["b.py"]
+        assert "poison row" in drows[0]["error"]
+        assert len(os.listdir(calls_dir)) == 4  # 1 batch + 3 per-row retries
+    finally:
+        tagged.unpersist()
