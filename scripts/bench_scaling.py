@@ -57,6 +57,10 @@ _os.makedirs(shm, exist_ok=True)
 N_BUCKETS = 128
 CFG = lambda: ReplayConfig(n_buckets=N_BUCKETS)
 spark = get_spark("scaling-%d" % cpus, master="local[%d]" % cpus, extra_conf={{
+    # throughput-oriented GC for the batch bench: ParallelGC avoids G1's
+    # concurrent-mark overhead at high thread counts (A/B measured ~10%)
+    "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
+    "spark.driver.memory": "16g",
     "spark.sql.shuffle.partitions": str(cpus * 4),
     "spark.sql.adaptive.enabled": "false",
     # shuffle + sink IO on tmpfs: the sandbox has ONE fixed local disk,

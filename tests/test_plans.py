@@ -86,3 +86,50 @@ def test_extraction_python_is_arrow_vectorized(spark, stored_changelog):
     plan = plan_of(extraction_stage(read_epoch(spark, stored_changelog, 0)))
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_conflict_report_plan_shape(spark):
+    """S14: one equi-join (no cartesian), per-field rows via a single
+    inline/explode — no per-field joins, no Python."""
+    from jurisprudencia_privada_etl_spark.operators.conflicts import conflict_report
+
+    t = spark.createDataFrame(
+        [("r1", "a", 1, "x", "c1")], ["repo", "path", "ordinal", "lang", "content"]
+    )
+    u = spark.createDataFrame(
+        [("r1", "a", 2, "y", "c2", "U")], ["repo", "path", "ordinal", "lang", "content", "op"]
+    )
+    plan = plan_of(conflict_report(t, u, ["lang", "content"]))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Generate") == 1  # ONE explode for all fields
+    assert "EvalPython" not in plan
+
+
+def test_embedding_dedup_plan_is_bucketed_not_allpairs(spark):
+    """The near-dup self-join must be an equi-join on the LSH bucket —
+    never a cartesian product of the corpus with itself."""
+    from jurisprudencia_privada_etl_spark.operators.similarity import embedding_dedup
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 5), 1.0, 0.5, 0.1]) for i in range(50)], ["vec_id", "embedding"]
+    )
+    plan = plan_of(embedding_dedup(df, n_planes=4, dim=4))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_multiprobe_lsh_explodes_query_side_only(spark):
+    """Multi-probe fans out ONLY the broadcast query side; the corpus scan
+    must not carry a Generate (explode) node."""
+    from jurisprudencia_privada_etl_spark.operators.similarity import lsh_topk
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5, 0.1]) for i in range(100)], ["vec_id", "embedding"]
+    )
+    q = spark.createDataFrame([(0, [1.0, 1.0, 0.5, 0.1])], ["query_id", "embedding"])
+    plan = plan_of(lsh_topk(corpus, q, k=3, n_planes=4, dim=4, n_probe_bits=1))
+    # the Generate node must sit under the broadcast exchange (query side)
+    assert "Generate explode" in plan
+    bcast_idx = plan.find("BroadcastExchange")
+    gen_idx = plan.find("Generate explode")
+    assert bcast_idx != -1 and gen_idx > bcast_idx
