@@ -149,10 +149,13 @@ def main() -> None:
             exact = brute_force_topk(emb, q, k=5).cache()
             exact.count()
             ann_recall["lsh@5"] = round(
-                mean_recall_at_k(lsh_topk(emb, q, k=5, n_planes=4, dim=64), exact, 5), 3
+                mean_recall_at_k(
+                    lsh_topk(emb, q, k=5, n_planes=4, dim=64, n_probe_bits=2), exact, 5
+                ),
+                3,
             )
             ann_recall["ivf@5"] = round(
-                mean_recall_at_k(ivf_topk(emb, q, k=5, n_lists=8, n_probe=3), exact, 5), 3
+                mean_recall_at_k(ivf_topk(emb, q, k=5, n_lists=8, n_probe=5), exact, 5), 3
             )
             exact.unpersist()
             emb.unpersist()
