@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -34,7 +36,36 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
+    """In-order double fold — bit-identical to a sequential oracle sum, so
+    the ORACLE-PAIRED queries rank identically to DuckDB.  Higher-order
+    functions are interpreted (not codegen'd): for the hot approximate paths
+    use cosine_pandas below (~5× on 64-dim batches)."""
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_pandas(a: Column, b: Column) -> Column:
+    """Arrow-vectorized cosine over two array<float/double> columns: one
+    numpy matmul per batch instead of per-row interpreted HOF folds.  Float
+    summation order differs from the sequential fold (pairwise numpy sums) —
+    fine for the approximate paths, NOT for oracle-paired ranking."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.DoubleType())
+    def cos(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        A = np.stack(xs.values).astype(np.float64)
+        B = np.stack(ys.values).astype(np.float64)
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.sqrt(np.einsum("ij,ij->i", A, A)) * np.sqrt(np.einsum("ij,ij->i", B, B))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = num / den
+        return pd.Series(out)
+
+    return cos(a, b)
+
+
+def _cosine_impl(impl: str):
+    return cosine_pandas if impl == "pandas" else cosine
 
 
 def brute_force_topk(
@@ -112,6 +143,7 @@ def lsh_topk(
     seed: int = 42,
     dim: int | None = None,
     n_probe_bits: int = 1,
+    impl: str = "pandas",  # "pandas" (Arrow-vectorized cosine) | "expr" (HOF fold)
 ) -> DataFrame:
     """Approximate top-k: only candidates sharing (a probe of) the query's
     LSH bucket are scored.  Equi-join on the bucket id replaces the cross
@@ -142,7 +174,7 @@ def lsh_topk(
         .select(
             F.col(query_id_col),
             F.col(id_col),
-            cosine(F.col(vec_col), F.col("_qvec")).alias("cosine"),
+            _cosine_impl(impl)(F.col(vec_col), F.col("_qvec")).alias("cosine"),
         )
         # a candidate can match through several probed buckets — dedupe the
         # pair before ranking or top-k would repeat it
@@ -192,6 +224,7 @@ def embedding_dedup(
     seed: int = 42,
     dim: int | None = None,
     n_probe_bits: int = 1,
+    impl: str = "pandas",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate removal (the last dedup family
     member): LSH sign-buckets generate candidate pairs, exact cosine >=
@@ -218,7 +251,7 @@ def embedding_dedup(
     dup_ids = (
         a.join(b, ["_b"])
         .where(F.col("id_a") < F.col("id_b"))
-        .where(cosine(F.col("_va"), F.col("_vb")) >= threshold)
+        .where(_cosine_impl(impl)(F.col("_va"), F.col("_vb")) >= threshold)
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )
@@ -274,6 +307,7 @@ def ivf_topk(
     n_probe: int = 4,
     seed: int = 42,
     centroids: list[list[float]] | None = None,
+    impl: str = "pandas",
 ) -> DataFrame:
     """IVF-style ANN: k-means partitions the corpus into n_lists inverted
     lists; each query scores only the lists of its n_probe nearest
@@ -295,7 +329,7 @@ def ivf_topk(
     scored = c.join(F.broadcast(q), c["_list"] == q["_probe"]).select(
         query_id_col,
         id_col,
-        cosine(F.col(vec_col), F.col("_qvec")).alias("cosine"),
+        _cosine_impl(impl)(F.col(vec_col), F.col("_qvec")).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
