@@ -61,9 +61,15 @@ def lang_id_pandas(col: Column | str, langs: list[str] | None = None) -> Column:
 
     @pandas_udf(T.StringType())
     def lid(texts: pd.Series) -> pd.Series:
+        import re
+
+        # Java \s (the expr form's split) is ASCII-only; Python str.split()
+        # breaks on ALL Unicode whitespace (e.g. U+00A0) — parity requires
+        # the exact same class
+        java_ws = re.compile("[ \\t\\n\\x0b\\f\\r]+")
         out = []
         for t in texts:
-            toks = [w for w in (t or "").lower().split() if w]
+            toks = [w for w in java_ws.split((t or "").lower()) if w]
             if not toks:
                 out.append("und")
                 continue

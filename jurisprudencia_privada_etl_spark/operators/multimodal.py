@@ -116,16 +116,24 @@ def _decode_kernel(data: bytes, media_type: str, mode: str) -> np.ndarray:
     'strict' → NotImplementedError, the slot where ffmpeg/PIL would go)."""
     data = data or b""
     if mode != "fake":
-        if codecs.is_wav(data):
-            return codecs.wav_features(data, FEATURE_DIM)
-        if codecs.is_bmp(data):
-            return codecs.bmp_features(data, FEATURE_DIM)
-        if mode == "strict":
-            raise NotImplementedError(
-                f"real {media_type} decode for this payload requires codec "
-                "libraries not present in this container (only WAV/BMP have "
-                "stdlib decoders); run with decode_stub_mode='auto' or 'fake'"
-            )
+        # magic-sniffed real decode; a spoofed/corrupt payload (anything can
+        # start with 'BM'/'RIFF') must NOT kill the job in 'auto' — it falls
+        # through to deterministic fake features; 'strict' propagates.
+        try:
+            if codecs.is_wav(data):
+                return codecs.wav_features(data, FEATURE_DIM)
+            if codecs.is_bmp(data):
+                return codecs.bmp_features(data, FEATURE_DIM)
+        except Exception:
+            if mode == "strict":
+                raise
+        else:
+            if mode == "strict":
+                raise NotImplementedError(
+                    f"real {media_type} decode for this payload requires codec "
+                    "libraries not present in this container (only WAV/BMP have "
+                    "stdlib decoders); run with decode_stub_mode='auto' or 'fake'"
+                )
     # deterministic fake features: bytes → sha256 → 16 floats in [0,1)
     h = hashlib.sha256(data).digest()
     return np.frombuffer(h[: FEATURE_DIM * 2], dtype=np.uint16).astype(np.float32) / 65535.0
@@ -176,15 +184,23 @@ def resize_images(df: DataFrame, width: int, height: int, decode_stub_mode: str 
             data_out = []
             for d in pdf["data"]:
                 d = d or b""
-                if decode_stub_mode != "fake" and codecs.is_bmp(d):
-                    px = codecs.decode_bmp(d)
-                    data_out.append(codecs.encode_bmp(codecs.resize_nearest(px, width, height)))
-                elif decode_stub_mode == "strict":
+                try:
+                    if decode_stub_mode != "fake" and codecs.is_bmp(d):
+                        px = codecs.decode_bmp(d)
+                        data_out.append(
+                            codecs.encode_bmp(codecs.resize_nearest(px, width, height))
+                        )
+                        continue
+                except Exception:
+                    if decode_stub_mode == "strict":
+                        raise
+                    data_out.append(d)  # auto: corrupt payload passes through
+                    continue
+                if decode_stub_mode == "strict":
                     raise NotImplementedError(
                         "non-BMP image resize requires PIL; not in container"
                     )
-                else:
-                    data_out.append(d)
+                data_out.append(d)
             meta = pd.DataFrame(list(pdf["meta"]))
             meta["width"] = width
             meta["height"] = height

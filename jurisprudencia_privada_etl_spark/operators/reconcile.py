@@ -88,6 +88,12 @@ def dead_letter_map_in_pandas(df: DataFrame, fn, out_fields: list[T.StructField]
     """
     names = [f.name for f in out_fields]
     keys = [k for k in KEY_COLUMNS if k in df.columns and k in names]
+    if [k for k in KEY_COLUMNS if k in df.columns] and not keys:
+        raise ValueError(
+            "out_fields must include the key columns "
+            f"({[k for k in KEY_COLUMNS if k in df.columns]}) — dead-letter "
+            "rows would otherwise carry no identity"
+        )
     union_schema = T.StructType(
         list(out_fields) + [T.StructField("error", T.StringType(), True)]
     )

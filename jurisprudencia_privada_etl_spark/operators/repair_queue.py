@@ -142,20 +142,28 @@ def process_repair_queue(
     sink: HadoopParquetSink,
     changelog: DataFrame,
     enrich,
+    run_extraction: bool = True,
+    default_year: int = 2026,
 ) -> dict:
     """Drain the queue: re-derive the queued keys' latest live rows from the
-    changelog, apply ``enrich(rows) -> rows`` (the late dependency — e.g. a
-    sidecar join that failed at original index time), replace those keys in
-    the table, clear the markers.  Ordinals pass through unchanged."""
+    changelog, re-run the FULL extraction stage on them (so every derived
+    column — fingerprint, title_norm, n_tokens, area… — is recomputed, not
+    null-regressed), apply ``enrich(rows) -> rows`` on top (the late
+    dependency — e.g. a sidecar join that failed at original index time),
+    replace those keys in the table, clear the markers.  Ordinals pass
+    through unchanged.  Set ``run_extraction=False`` only when ``enrich``
+    itself produces every derived column."""
+    from jurisprudencia_privada_etl_spark.extraction import extraction_stage
     from jurisprudencia_privada_etl_spark.operators.lww import lww_dedup
 
     queue, batches = load_queue(spark, sink.table_path)
     if queue is None:
         return {"repaired_keys": 0, "cleared_batches": 0}
     keys = queue.select(*KEY_COLUMNS).distinct()
-    n_keys = keys.count()
     events = changelog.join(keys, list(KEY_COLUMNS), "left_semi")
     winners = lww_dedup(events, list(KEY_COLUMNS), "ordinal").where(F.col("op") != "D")
+    if run_extraction:
+        winners = extraction_stage(winners, default_year)
     # align to the CURRENT target schema: recompute the payload the sink
     # stores for these keys, with the late dependency available this time
     current = sink.load(buckets=None, include_tombstones=True).limit(0)
@@ -163,7 +171,11 @@ def process_repair_queue(
     for c in current.columns:
         if c not in rows.columns and c != BUCKET_COLUMN:
             rows = rows.withColumn(c, F.lit(None).cast(dict(current.dtypes)[c]))
-    rows = rows.select([c for c in current.columns if c != BUCKET_COLUMN])
-    res = replace_keys(sink, rows)
+    rows = rows.select([c for c in current.columns if c != BUCKET_COLUMN]).persist()
+    try:
+        n_keys = rows.select(*KEY_COLUMNS).distinct().count()
+        res = replace_keys(sink, rows)
+    finally:
+        rows.unpersist()
     clear(sink.table_path, batches)
     return {"repaired_keys": n_keys, "cleared_batches": len(batches), **res}

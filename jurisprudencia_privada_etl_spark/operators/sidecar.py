@@ -67,17 +67,20 @@ def clean_cell(v) -> str | None:
     return s or None
 
 
-def parse_sidecar_pages(pages: list[pd.DataFrame]) -> pd.DataFrame:
+def parse_sidecar_pages(pages: list[pd.DataFrame], base_ordinal: int = 0) -> pd.DataFrame:
     """Multi-page raw cell grids → one cleaned pandas table (S5/A5/A6).
 
     Each page's first row is its header (as the reference's table extraction
     yields); headers are cleaned + dedup-suffixed, cells cleaned, pages
     concatenated (pd.concat, pdf_parser.py:49).
 
-    Emits an explicit ``_row`` ordinal — the (page, row) document order —
-    which sidecar_dimension's first-wins reduce keys on.  The reference's
-    "first" is PDF document order (sharepoint.ts:526-533); an explicit
-    ordinal keeps it stable under any Spark partitioning.
+    Emits an explicit ``_row`` ordinal — ``base_ordinal`` + (page, row)
+    document order — which sidecar_dimension's first-wins reduce keys on.
+    The reference's "first" is PDF document order (sharepoint.ts:526-533);
+    an explicit ordinal keeps it stable under any Spark partitioning.
+    Parsing SEVERAL sidecar files for one folder?  Give each a distinct
+    ``base_ordinal`` (e.g. file_index * 1_000_000) before unioning, or the
+    per-file ordinals collide and first-wins ties go nondeterministic again.
     """
     frames = []
     for page in pages:
@@ -90,7 +93,7 @@ def parse_sidecar_pages(pages: list[pd.DataFrame]) -> pd.DataFrame:
     if not frames:
         return pd.DataFrame()
     out = pd.concat(frames, ignore_index=True)
-    out["_row"] = range(len(out))
+    out["_row"] = range(base_ordinal, base_ordinal + len(out))
     return out
 
 

@@ -59,6 +59,15 @@ def cosine_pandas(a: Column, b: Column) -> Column:
         den = np.sqrt(np.einsum("ij,ij->i", A, A)) * np.sqrt(np.einsum("ij,ij->i", B, B))
         with np.errstate(divide="ignore", invalid="ignore"):
             out = num / den
+        # zero-norm vectors → NULL, matching the expr form's SQL semantics.
+        # A NaN here would be CATASTROPHIC: Spark orders NaN above every
+        # double, so a zero vector would rank top-1 in every probed bucket
+        # and `NaN >= threshold` is true, deleting its bucket-mates as dups.
+        bad = den == 0
+        if bad.any():
+            return pd.Series(
+                [None if b else v for v, b in zip(out.tolist(), bad)], dtype=object
+            )
         return pd.Series(out)
 
     return cos(a, b)
@@ -169,16 +178,19 @@ def lsh_topk(
         )
         .drop("_home")
     )
+    # dedupe (query, candidate) pairs BEFORE scoring: a candidate can match
+    # through several probed buckets, and scoring first would waste one
+    # cosine evaluation per extra probe hit (the duplicated rows carry
+    # identical vectors, so which one survives is immaterial)
     scored = (
         c.join(F.broadcast(q), "_bucket")
+        .select(F.col(query_id_col), F.col(id_col), F.col(vec_col), F.col("_qvec"))
+        .dropDuplicates([query_id_col, id_col])
         .select(
             F.col(query_id_col),
             F.col(id_col),
             _cosine_impl(impl)(F.col(vec_col), F.col("_qvec")).alias("cosine"),
         )
-        # a candidate can match through several probed buckets — dedupe the
-        # pair before ranking or top-k would repeat it
-        .dropDuplicates([query_id_col, id_col])
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return (

@@ -593,6 +593,11 @@ class IcebergSink:
             f"content_sha string, deleted boolean) USING iceberg "
             f"PARTITIONED BY (bucket(64, repo))"
         )
+        # migration: tables created before the soft-delete model lack the
+        # column and IF NOT EXISTS above won't add it
+        self.spark.sql(
+            f"ALTER TABLE {self.table} ADD COLUMN IF NOT EXISTS deleted boolean"
+        )
 
     def evolve(self, changes: list[SchemaChange]) -> None:  # pragma: no cover
         for ch in changes:

@@ -364,3 +364,69 @@ def test_embedding_dedup(spark):
     assert 100 not in kept and 101 not in kept
     assert 0 in kept and 1 in kept
     assert len(kept) >= 18  # random 8-dim vectors rarely reach cos 0.99
+
+
+def test_multimodal_auto_survives_spoofed_payloads(spark):
+    """'auto' must fall back to fake features on corrupt/spoofed magic bytes
+    (anything can start with 'BM'/'RIFF') instead of failing the job."""
+    import pandas as pd
+
+    from jurisprudencia_privada_etl_spark.operators.multimodal import (
+        ASSET_SCHEMA,
+        extract_features,
+        resize_images,
+    )
+
+    rows = pd.DataFrame(
+        {
+            "asset_id": [1, 2, 3],
+            "media_type": ["image", "audio", "image"],
+            "data": [b"BMW sales rose in Q3", b"RIFFxxxxWAVEgarbage", b"BM\x01"],
+            "meta": [{"width": 1, "height": 1, "duration_ms": None, "codec": "?"}] * 3,
+        }
+    )
+    assets = spark.createDataFrame(rows, schema=ASSET_SCHEMA)
+    out = extract_features(assets, decode_stub_mode="auto").collect()
+    assert len(out) == 3 and all(len(r["features"]) == 16 for r in out)
+    rz = resize_images(assets, 4, 4, decode_stub_mode="auto").collect()
+    assert len(rz) == 2  # image rows pass through undecoded, job alive
+    with pytest.raises(Exception):
+        extract_features(assets, decode_stub_mode="strict").collect()
+
+
+def test_cosine_pandas_zero_vector_is_null_not_nan(spark):
+    """NaN would sort ABOVE every cosine (Spark NaN-is-largest) and pass
+    `>= threshold` — a zero-norm vector must yield NULL instead."""
+    from jurisprudencia_privada_etl_spark.operators.similarity import (
+        cosine_pandas,
+        embedding_dedup,
+        lsh_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0])], ["vec_id", "embedding"]
+    )
+    got = df.select(
+        "vec_id", cosine_pandas(F.col("embedding"), F.array(F.lit(1.0), F.lit(0.0))).alias("c")
+    ).collect()
+    vals = {r["vec_id"]: r["c"] for r in got}
+    assert vals[2] is None and vals[0] is not None
+
+    # zero vector can never rank above real candidates nor delete bucket-mates
+    q = spark.createDataFrame([(100, [1.0, 0.0])], ["query_id", "embedding"])
+    top = lsh_topk(df, q, k=3, n_planes=2, dim=2, n_probe_bits=2).orderBy("rank").collect()
+    assert [r["vec_id"] for r in top[:2]] == [0, 1]
+    kept = sorted(r["vec_id"] for r in embedding_dedup(df, threshold=0.5, n_planes=2, dim=2, n_probe_bits=2).collect())
+    assert 2 in kept  # NULL cosine did not count as a duplicate match
+
+
+def test_dead_letter_requires_keys_in_out_fields(spark):
+    from pyspark.sql import types as T
+
+    from jurisprudencia_privada_etl_spark.operators.reconcile import (
+        dead_letter_map_in_pandas,
+    )
+
+    df = spark.createDataFrame([("r1", "a.py", "x")], ["repo", "path", "content"])
+    with pytest.raises(ValueError, match="key columns"):
+        dead_letter_map_in_pandas(df, lambda p: p, [T.StructField("content", T.StringType())])

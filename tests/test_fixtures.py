@@ -440,6 +440,11 @@ def test_repair_queue_late_sidecar_lifecycle(spark, tmp_path):
     assert after["a.py"]["area"] == "civel-late"
     assert after["a.py"]["ordinal"] == 1          # ordinal preserved
     assert after["a.py"]["content"] == "content-a"
+    # extraction re-ran on the repaired row: derived fields are NOT
+    # null-regressed (fingerprint/title/tokens survive the repair)
+    assert after["a.py"]["fingerprint"] is not None
+    assert after["a.py"]["title_norm"] is not None
+    assert after["a.py"]["n_tokens"] == 1
     assert after["b.py"]["content"] == "content-b"  # co-bucketed rows carry over
     assert "dead.py" not in after                   # tombstone winner stays out
 

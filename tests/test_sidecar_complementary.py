@@ -206,3 +206,24 @@ def test_dead_letter_wrapper_single_pass(spark, tmp_path):
         assert len(os.listdir(calls_dir)) == 4  # 1 batch + 3 per-row retries
     finally:
         tagged.unpersist()
+
+
+def test_parse_sidecar_pages_base_ordinal_for_multi_file(spark):
+    """Two sidecar files for one folder get DISTINCT ordinal ranges, so the
+    cross-file first-wins is deterministic (file order, then page, then row)."""
+    f1 = parse_sidecar_pages(sidecar_fixture_pages(), base_ordinal=0)
+    f2 = parse_sidecar_pages(sidecar_fixture_pages(), base_ordinal=1_000_000)
+    assert f1["_row"].max() < f2["_row"].min()
+    both = pd.concat([f1, f2], ignore_index=True).assign(folder="f")
+    base = spark.createDataFrame(both)
+    dims = []
+    for k in (1, 3, 5):
+        rows = sorted(
+            (r["process_key"], r["judge"])
+            for r in sidecar_dimension(spark, base.repartition(k)).collect()
+        )
+        dims.append(rows)
+    assert dims[0] == dims[1] == dims[2]
+    # file-1's row wins over file-2's duplicate of the same key
+    d = dict(dims[0])
+    assert d["123/45"] == "Maria Silva"
