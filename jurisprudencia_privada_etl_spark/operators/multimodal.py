@@ -181,7 +181,7 @@ def resize_images(df: DataFrame, width: int, height: int, decode_stub_mode: str 
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            data_out = []
+            data_out, resized = [], []
             for d in pdf["data"]:
                 d = d or b""
                 try:
@@ -190,21 +190,29 @@ def resize_images(df: DataFrame, width: int, height: int, decode_stub_mode: str 
                         data_out.append(
                             codecs.encode_bmp(codecs.resize_nearest(px, width, height))
                         )
+                        resized.append(True)
                         continue
                 except Exception:
                     if decode_stub_mode == "strict":
                         raise
                     data_out.append(d)  # auto: corrupt payload passes through
+                    resized.append(False)
                     continue
                 if decode_stub_mode == "strict":
                     raise NotImplementedError(
                         "non-BMP image resize requires PIL; not in container"
                     )
                 data_out.append(d)
-            meta = pd.DataFrame(list(pdf["meta"]))
-            meta["width"] = width
-            meta["height"] = height
-            yield pdf.assign(data=data_out, meta=meta.to_dict("records"))
+                resized.append(False)
+            # meta.width/height are rewritten ONLY for rows whose bytes were
+            # actually decoded and re-encoded; a pass-through payload keeps
+            # its original meta — otherwise meta would claim dimensions the
+            # bytes don't have.
+            meta_out = [
+                ({**(m or {}), "width": width, "height": height} if r else m)
+                for m, r in zip(pdf["meta"], resized)
+            ]
+            yield pdf.assign(data=data_out, meta=meta_out)
 
     return df.where(F.col("media_type") == "image").mapInPandas(run, schema=out_schema)
 
@@ -227,21 +235,27 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, decode_stub_mode: str = "
                 continue
             if decode_stub_mode == "strict":
                 raise NotImplementedError("video decode requires ffmpeg; not in container")
-            rows = []
-            for _, r in pdf.iterrows():
-                dur = (r["meta"]["duration_ms"] or 0) if r["meta"] is not None else 0
-                for ms in range(0, int(dur), every_ms):
-                    rows.append(
-                        {
-                            "asset_id": r["asset_id"],
-                            "frame_ms": ms,
-                            "frame_sha": hashlib.sha256(
-                                (r["data"] or b"") + ms.to_bytes(4, "big")
-                            ).hexdigest(),
-                        }
-                    )
-            yield pd.DataFrame(rows, columns=["asset_id", "frame_ms", "frame_sha"]).astype(
-                {"asset_id": "int64", "frame_ms": "int32"}
+            # one-to-many expansion as a numpy repeat: n_frames per row from
+            # meta.duration_ms, then a flat frame-stamp grid — no iterrows.
+            durs = np.array(
+                [int((m or {}).get("duration_ms") or 0) for m in pdf["meta"]], dtype=np.int64
             )
+            n_frames = np.maximum((durs + every_ms - 1) // every_ms, 0)
+            idx = np.repeat(np.arange(len(pdf)), n_frames)
+            starts = np.repeat(np.cumsum(n_frames) - n_frames, n_frames)
+            frame_ms = (np.arange(len(idx)) - starts) * every_ms
+            data = pdf["data"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].to_numpy()[idx],
+                    "frame_ms": frame_ms.astype("int32"),
+                    # frame_sha stays per-frame (the real decoder slot); the
+                    # digest loop is over SAMPLED frames only, not all rows
+                    "frame_sha": [
+                        hashlib.sha256((data[i] or b"") + int(ms).to_bytes(4, "big")).hexdigest()
+                        for i, ms in zip(idx, frame_ms)
+                    ],
+                }
+            ).astype({"asset_id": "int64", "frame_ms": "int32"})
 
     return df.where(F.col("media_type") == "video").mapInPandas(run, schema=out_schema)

@@ -57,16 +57,30 @@ def list_batches(table_path: str) -> list[int]:
 def enqueue(keys: DataFrame, table_path: str, reason: str) -> int:
     """Append one marker batch (repo, path, reason).  Batches are numbered
     sequentially; the write goes to a .tmp dir renamed into place so a
-    half-written batch is never loaded."""
+    half-written batch is never loaded.
+
+    Concurrency: batch ids are claimed by the atomic rename itself — two
+    enqueuers that list the same next id race on the rename, the loser gets
+    EEXIST/ENOTEMPTY and retries with the next id (the .tmp dir is written
+    once and only renamed, so no re-write per retry).  Single-writer remains
+    the expected deployment (the replay loop drains the queue serially)."""
     batches = list_batches(table_path)
     n = (batches[-1] + 1) if batches else 0
-    final = os.path.join(_qdir(table_path), f"batch={n}")
-    tmp = final + ".tmp"
+    tmp = os.path.join(_qdir(table_path), f"batch-{os.getpid()}-{n}.tmp")
     keys.select(*KEY_COLUMNS).distinct().withColumn("reason", F.lit(reason)).write.mode(
         "overwrite"
     ).parquet(tmp)
-    os.rename(tmp, final)
-    return n
+    while True:
+        final = os.path.join(_qdir(table_path), f"batch={n}")
+        try:
+            os.rename(tmp, final)
+            return n
+        except OSError:
+            if os.path.isdir(final):  # lost the race — claim the next id
+                n += 1
+                continue
+            shutil.rmtree(tmp, ignore_errors=True)  # stranded .tmp cleanup
+            raise
 
 
 def load_queue(spark: SparkSession, table_path: str) -> tuple[DataFrame | None, list[int]]:

@@ -137,8 +137,20 @@ def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
 
 def _probe_masks(n_planes: int, n_probe_bits: int) -> list[int]:
     """All XOR masks with popcount <= n_probe_bits — the multi-probe set.
-    Tiny (C(n, <=m)); computed at plan time, enters the plan as literals."""
-    return [m for m in range(1 << n_planes) if bin(m).count("1") <= n_probe_bits]
+    Tiny (sum of C(n, <=m)); computed at plan time, enters the plan as
+    literals.  Built from bit-position combinations so cost scales with the
+    OUTPUT size, not 2**n_planes — n_planes=64 with 2 probe bits is ~2k
+    masks, not a 2^64 scan."""
+    import itertools
+
+    masks = []
+    for m in range(min(n_probe_bits, n_planes) + 1):
+        for bits in itertools.combinations(range(n_planes), m):
+            acc = 0
+            for b in bits:
+                acc |= 1 << b
+            masks.append(acc)
+    return masks
 
 
 def lsh_topk(

@@ -63,6 +63,22 @@ class ReplayConfig:
     conflict_fields: list[str] = field(default_factory=list)
 
 
+def _write_counted(spark: SparkSession, df: DataFrame, path: str, tag: str) -> int:
+    """Write a side-channel DataFrame and return its row count in ONE job:
+    an Observation rides the write instead of a write→re-read→count round
+    trip.  Fallback: when the written plan collapses to an empty relation the
+    CollectMetrics row comes back schemaless (see sink.merge) — re-read then,
+    the cheap rare case."""
+    from pyspark.sql import Observation
+
+    obs = Observation(f"side_{tag}")
+    df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("overwrite").parquet(path)
+    try:
+        return int(obs.get["n"])
+    except Exception:
+        return spark.read.parquet(path).count()
+
+
 def prepare_epoch_updates(
     spark: SparkSession, batch: DataFrame, cfg: ReplayConfig, payload_cols: list[str]
 ) -> DataFrame:
@@ -113,8 +129,7 @@ def process_epoch(
 
         batch, dead = split_valid(batch, required_cols=["repo", "path", "ordinal"])
         dead_dir = f"{sink.table_path}/_dead_letter/epoch={epoch}"
-        dead.write.mode("overwrite").parquet(dead_dir)
-        n_dead = spark.read.parquet(dead_dir).count()
+        n_dead = _write_counted(spark, dead, dead_dir, f"dead_letter_{epoch}")
         if n_dead:
             extra["dead_letter_rows"] = n_dead
     # touched buckets + lineage from the raw batch (cheap JVM scan) so the
@@ -130,8 +145,7 @@ def process_epoch(
             sink.load(buckets=touched), lww_dedup_agg(batch), cfg.conflict_fields
         )
         conf_dir = f"{sink.table_path}/_conflicts/epoch={epoch}"
-        conf.write.mode("overwrite").parquet(conf_dir)
-        n_conf = spark.read.parquet(conf_dir).count()
+        n_conf = _write_counted(spark, conf, conf_dir, f"conflicts_{epoch}")
         if n_conf:
             extra["conflict_rows"] = n_conf
     updates = prepare_epoch_updates(spark, batch, cfg, payload)

@@ -586,7 +586,10 @@ class IcebergSink:
         except Exception as e:  # pragma: no cover - sandbox has no iceberg jar
             raise RuntimeError("iceberg-spark-runtime not on classpath") from e
 
-    def create(self, schema: TableSchema) -> None:  # pragma: no cover
+    def _has_column(self, name: str) -> bool:
+        return name in self.spark.table(self.table).columns
+
+    def create(self, schema: TableSchema) -> None:
         ddl = ", ".join(f"{c.name} {c.dtype}" for c in schema.columns)
         self.spark.sql(
             f"CREATE TABLE IF NOT EXISTS {self.table} ({ddl}, ordinal bigint, "
@@ -594,19 +597,24 @@ class IcebergSink:
             f"PARTITIONED BY (bucket(64, repo))"
         )
         # migration: tables created before the soft-delete model lack the
-        # column and IF NOT EXISTS above won't add it
-        self.spark.sql(
-            f"ALTER TABLE {self.table} ADD COLUMN IF NOT EXISTS deleted boolean"
-        )
+        # column.  Spark SQL has no ADD COLUMN IF NOT EXISTS (that form only
+        # exists for ADD PARTITION), so probe the catalog schema first and
+        # issue a plain ADD COLUMNS only when it is actually missing.
+        if not self._has_column("deleted"):
+            self.spark.sql(f"ALTER TABLE {self.table} ADD COLUMNS (deleted boolean)")
 
-    def evolve(self, changes: list[SchemaChange]) -> None:  # pragma: no cover
+    def evolve(self, changes: list[SchemaChange]) -> None:
         for ch in changes:
             if ch.kind == "add":
-                self.spark.sql(f"ALTER TABLE {self.table} ADD COLUMN IF NOT EXISTS {ch.name} {ch.dtype}")
+                # same IF-NOT-EXISTS caveat as create(): probe, then plain ADD
+                if not self._has_column(ch.name):
+                    self.spark.sql(
+                        f"ALTER TABLE {self.table} ADD COLUMNS ({ch.name} {ch.dtype})"
+                    )
             elif ch.kind == "rename":
                 self.spark.sql(f"ALTER TABLE {self.table} RENAME COLUMN {ch.name} TO {ch.new_name}")
 
-    def last_committed_epoch(self) -> int:  # pragma: no cover
+    def last_committed_epoch(self) -> int:
         """Epoch stamp from the table property set at each commit (falls back
         to the latest snapshot's summary for tables stamped via write
         options).  -1 = nothing committed."""
@@ -621,7 +629,7 @@ class IcebergSink:
             v = snap[0]["e"] if snap else None
         return int(v) if v is not None else -1
 
-    def merge(self, updates: DataFrame, epoch: int, extra_metrics=None) -> dict:  # pragma: no cover
+    def merge(self, updates: DataFrame, epoch: int, extra_metrics=None) -> dict:
         """Same merge contract as HadoopParquetSink.merge (shared gate:
         manifest.epoch_already_applied):
 
@@ -660,7 +668,7 @@ class IcebergSink:
         )
         return {"epoch": epoch, "engine": "iceberg"}
 
-    def vacuum(self, retain_after_ordinal: int) -> dict:  # pragma: no cover
+    def vacuum(self, retain_after_ordinal: int) -> dict:
         """GC soft-deleted rows past the ordinal horizon (same contract as
         HadoopParquetSink.vacuum)."""
         self.spark.sql(
@@ -668,7 +676,7 @@ class IcebergSink:
         )
         return {"vacuum_below": retain_after_ordinal}
 
-    def load(self) -> DataFrame:  # pragma: no cover
+    def load(self) -> DataFrame:
         return self.spark.table(self.table).where(~F.coalesce(F.col("deleted"), F.lit(False)))
 
 
