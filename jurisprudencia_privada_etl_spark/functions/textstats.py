@@ -128,10 +128,23 @@ def quality_score(col: Column | str, lang: str = "en") -> Column:
 
 def doc_fingerprint(col: Column | str, modulus: int = 1 << 55) -> Column:
     """Order-sensitive polynomial rolling hash over tokens (content
-    fingerprint).  pmod keeps the fold inside bigint range — ANSI-safe."""
+    fingerprint).  pmod keeps the fold inside bigint range — ANSI-safe.
+    The token hash is Spark's xxhash64 (fast, JVM-internal) — use
+    ``doc_fingerprint_md5`` when the result must be reproducible outside
+    Spark (the DuckDB-oracle-paired driver query)."""
     t = tokens(col, lowercase=False)
     return F.aggregate(
         t,
         F.lit(0).cast("long"),
         lambda acc, x: F.pmod(acc * 31 + F.pmod(F.xxhash64(x), F.lit(1 << 31)), F.lit(modulus)),
     )
+
+
+def doc_fingerprint_md5(col: Column | str) -> Column:
+    """Engine-independent order-sensitive fingerprint: a chained md5 over
+    whitespace tokens — fp = md5(md5(...md5('' || t1)... || tn)), '' for an
+    empty document.  Both md5 and the sequential fold exist verbatim in
+    DuckDB (list_reduce over a ''-prepended token list), so the same
+    document yields the same hex string in either engine."""
+    t = tokens(col, lowercase=False)
+    return F.aggregate(t, F.lit(""), lambda acc, x: F.md5(F.concat(acc, x)))

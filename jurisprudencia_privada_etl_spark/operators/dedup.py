@@ -154,6 +154,7 @@ def minhash_lsh_candidates(
     bands: int = 8,
     seed: int = 42,
     impl: str = "pandas",  # "pandas" (vectorized, default) | "expr" (pure JVM)
+    with_est: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded LSH.
 
@@ -161,12 +162,20 @@ def minhash_lsh_candidates(
     signature slice matches exactly.  The band bucket join is an equi-join on
     (band, band_hash) — shuffle keys are uniform hashes, broadcast-free and
     skew-free by construction.
+
+    ``with_est=True`` adds an ``est_jaccard`` column (fraction of equal
+    signature components — the standard unbiased minhash Jaccard estimator).
+    The signatures ride THROUGH the band explode for it, so both self-join
+    sides stay the identical subtree (one ReusedExchange, the signature UDF
+    does not re-run) and the estimate costs one 32-element compare per
+    candidate pair instead of extra joins.
     """
     r = num_hashes // bands
     mk = minhash_signature_pandas if impl == "pandas" else minhash_signature
     sig = df.select(F.col(id_col), mk(text_col, num_hashes, seed).alias("_sig"))
+    keep = [id_col, "_sig"] if with_est else [id_col]
     banded = sig.select(
-        id_col,
+        *keep,
         F.explode(
             F.array(
                 *[
@@ -178,16 +187,31 @@ def minhash_lsh_candidates(
                 ]
             )
         ).alias("bk"),
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    ).select(*keep, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
     a = banded.alias("a")
     b = banded.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
+    joined = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
     )
-    return pairs
+    if with_est:
+        eq = F.zip_with(
+            F.col("a._sig"), F.col("b._sig"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        )
+        est = (
+            F.aggregate(eq, F.lit(0), lambda acc, v: acc + v).cast("double")
+            / F.lit(float(num_hashes))
+        )
+        return joined.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            est.alias("est_jaccard"),
+        ).distinct()
+    return joined.select(
+        F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+    ).distinct()
 
 
 def verify_jaccard(
@@ -212,6 +236,51 @@ def verify_jaccard(
     )
 
 
+def verify_jaccard_pandas(
+    pairs: DataFrame,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    n: int = 3,
+) -> DataFrame:
+    """Exact shingle-Jaccard on candidate pairs, Arrow-vectorized.
+
+    The expr form (verify_jaccard) materializes shingle arrays for EVERY
+    document via interpreted higher-order functions; here only candidate
+    pairs join to their raw TEXT (smaller than its shingle set) and one
+    pandas UDF computes exact Jaccard per pair — same tokenizer as the
+    signature UDF.  Union is never 0 (an empty doc shingles to {''}), so no
+    NULL/NaN ordering trap."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.DoubleType())
+    def jac(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        def sh(t):
+            toks = [w for w in (t or "").lower().split() if w]
+            if len(toks) >= n:
+                return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+            return {" ".join(toks)}
+
+        out = []
+        for x, y in zip(xs, ys):
+            a, b = sh(x), sh(y)
+            inter = len(a & b)
+            out.append(inter / (len(a) + len(b) - inter))
+        return pd.Series(out)
+
+    ta = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta"))
+    tb = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb"))
+    return (
+        pairs.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("jaccard", jac("_ta", "_tb"))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -220,11 +289,26 @@ def minhash_dedup(
     num_hashes: int = 32,
     bands: int = 8,
     seed: int = 42,
+    est_margin: float | None = None,
+    verify_impl: str = "expr",  # "expr" (HOF arrays) | "pandas" (Arrow batch)
 ) -> DataFrame:
     """Drop near-duplicates: keep the min-id representative of each verified
-    near-dup pair's component (greedy: drop id_b of every confirmed pair)."""
-    cand = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, seed)
-    dups = verify_jaccard(cand, df, text_col, id_col, threshold).select(
+    near-dup pair's component (greedy: drop id_b of every confirmed pair).
+
+    ``est_margin`` enables a signature-estimate prefilter: candidates with
+    est_jaccard < threshold - est_margin skip the exact verify.  At
+    threshold 1.0 with margin 0.0 this is LOSSLESS (identical shingle sets
+    ⟹ identical signatures ⟹ est exactly 1.0); at lower thresholds it is an
+    approximation (a true pair can estimate low), so it stays opt-in."""
+    cand = minhash_lsh_candidates(
+        df, text_col, id_col, num_hashes, bands, seed, with_est=est_margin is not None
+    )
+    if est_margin is not None:
+        cand = cand.where(F.col("est_jaccard") >= threshold - est_margin).select(
+            "id_a", "id_b"
+        )
+    verify = verify_jaccard_pandas if verify_impl == "pandas" else verify_jaccard
+    dups = verify(cand, df, text_col, id_col, threshold).select(
         F.col("id_b").alias(id_col)
     ).distinct()
     return df.join(dups, id_col, "left_anti")

@@ -61,11 +61,51 @@ FEATURES_SCHEMA = T.StructType(
 )
 
 
+# synthetic asset geometry: fixed so the container headers are constants the
+# DuckDB oracle can embed as hex literals (see queries._multimodal_oracle_sql)
+AUDIO_DATA_BYTES = 800  # 400 PCM16 samples @ 8 kHz = 0.05 s
+IMG_W, IMG_H = 8, 8  # 24-bit rows of 24 bytes → no padding → 192 pixel bytes
+IMG_DATA_BYTES = IMG_W * IMG_H * 3
+VIDEO_DATA_BYTES = 32
+
+
+def sha_chain(key: str, n_bytes: int) -> bytes:
+    """Deterministic byte stream: concat of sha256(f"{key}:{j}") digests,
+    truncated.  Engine-independent by construction — DuckDB reproduces it as
+    string concatenation of sha256 hex digests (hex-of-concat == concat-of-
+    hex), which is what makes the multimodal payloads oracle-checkable."""
+    n_blocks = (n_bytes + 31) // 32
+    return b"".join(
+        hashlib.sha256(f"{key}:{j}".encode()).digest() for j in range(n_blocks)
+    )[:n_bytes]
+
+
+def wav_header(data_bytes: int = AUDIO_DATA_BYTES) -> bytes:
+    """The 44-byte canonical RIFF/WAVE PCM16 header for a payload of
+    ``data_bytes`` (1 channel, 8 kHz) — sliced off a real stdlib encode so
+    it can never drift from what decode_wav accepts."""
+    full = codecs.encode_wav(np.zeros(data_bytes // 2, dtype="<i2"))
+    return full[: len(full) - data_bytes]
+
+
+def bmp_header() -> bytes:
+    """The 54-byte BMP file+info header for an IMG_W×IMG_H 24-bit image."""
+    full = codecs.encode_bmp(np.zeros((IMG_H, IMG_W, 3), dtype=np.uint8))
+    return full[: len(full) - IMG_DATA_BYTES]
+
+
 def synthetic_assets(spark, n: int, seed: int = 42) -> DataFrame:
     """Deterministic binary assets: REAL WAV bytes for audio rows, REAL BMP
     bytes for image rows (decodable by the real kernels), an opaque blob for
     video rows (whose kernel is a stub).  Generated inside Arrow batches —
-    never on the driver."""
+    never on the driver.
+
+    Payloads are ``<canonical container header> + sha_chain(seed:i, size)``:
+    fully decodable (the chain bytes are the PCM samples / BGR pixels) AND
+    byte-reconstructible by the DuckDB oracle from hex literals + sha256
+    string concatenation, so the driver can verify the multimodal pipeline's
+    n_bytes/payload-digest end-to-end."""
+    wav_hdr, bmp_hdr = wav_header(), bmp_header()
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -73,27 +113,15 @@ def synthetic_assets(spark, n: int, seed: int = 42) -> DataFrame:
             for i in pdf["id"]:
                 i = int(i)
                 kind = ("image", "audio", "video")[(i + seed) % 3]
+                key = f"{seed}:{i}"
                 if kind == "audio":
-                    # 0.05s sine at a per-asset frequency, 8 kHz PCM16
-                    t = np.arange(400) / 8000.0
-                    freq = 100.0 + (i * 37 + seed) % 200
-                    wav = codecs.encode_wav(
-                        (np.sin(2 * np.pi * freq * t) * 12000).astype("<i2")
-                    )
+                    wav = wav_hdr + sha_chain(key, AUDIO_DATA_BYTES)
                     rows.append((i, kind, wav, None, None, 50, "pcm16"))
                 elif kind == "image":
-                    # 8×8 deterministic gradient
-                    base = (i * 31 + seed) % 200
-                    px = (
-                        np.arange(8)[:, None, None] * 16
-                        + np.arange(8)[None, :, None] * 2
-                        + np.arange(3)[None, None, :] * 40
-                        + base
-                    ) % 256
-                    bmp = codecs.encode_bmp(px.astype(np.uint8))
-                    rows.append((i, kind, bmp, 8, 8, None, "bmp24"))
+                    bmp = bmp_hdr + sha_chain(key, IMG_DATA_BYTES)
+                    rows.append((i, kind, bmp, IMG_W, IMG_H, None, "bmp24"))
                 else:
-                    blob = b"BLOB:" + hashlib.sha256(f"{seed}:{i}".encode()).digest()
+                    blob = b"BLOB:" + sha_chain(key, VIDEO_DATA_BYTES)
                     rows.append((i, kind, blob, 64, 64, (i * 97) % 10000, "fake"))
             yield pd.DataFrame(
                 {

@@ -282,6 +282,18 @@ def embedding_dedup(
     return df.join(dup_ids, id_col, "left_anti")
 
 
+def anchor_centroids(dim: int, n_lists: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic data-independent coarse quantizer: seeded unit anchors
+    (the same hash-based normal generator as the LSH hyperplanes).  Squared-
+    L2 argmin against unit anchors is argmax of the dot product, i.e. a
+    random-direction partition — a weaker quantizer than k-means but a pure
+    plan-time literal: replayable, shippable to any engine, and exactly what
+    a persisted index looks like to the query (``centroids=`` is just a list
+    of floats however it was trained).  Use ``kmeans_centroids`` to train a
+    data-adaptive set offline; pass either here."""
+    return _hyperplanes(dim, n_lists, seed)
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     k: int = 16,

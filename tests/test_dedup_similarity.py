@@ -82,6 +82,36 @@ def test_minhash_dedup_keeps_representatives(docs):
     assert 3 not in kept  # exact dup dropped
 
 
+def test_minhash_fast_path_equals_expr_path(docs):
+    """The Arrow verify and the est-prefilter (lossless at threshold 1.0)
+    return the same survivors as the expression pipeline."""
+    from jurisprudencia_privada_etl_spark.operators.dedup import verify_jaccard_pandas
+
+    # vectorized verify == expr verify, pair for pair, on any threshold
+    cand = minhash_lsh_candidates(docs, num_hashes=32, bands=16)
+    ve = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+          for r in verify_jaccard(cand, docs, threshold=0.3).collect()}
+    vp = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+          for r in verify_jaccard_pandas(cand, docs, threshold=0.3).collect()}
+    assert ve == vp
+    # whole dedup at threshold 1.0: prefiltered+vectorized == default
+    base = sorted(r["doc_id"] for r in minhash_dedup(docs, threshold=1.0, num_hashes=32, bands=16).collect())
+    fast = sorted(
+        r["doc_id"]
+        for r in minhash_dedup(
+            docs, threshold=1.0, num_hashes=32, bands=16,
+            est_margin=0.0, verify_impl="pandas",
+        ).collect()
+    )
+    assert base == fast
+    # est_jaccard column exists and is exact for identical docs
+    est = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_candidates(docs, num_hashes=32, bands=16, with_est=True).collect()
+    }
+    assert est[(0, 3)] == 1.0  # exact dup pair → every signature component equal
+
+
 def test_simhash_near_dups_are_close(spark, docs):
     sigs = {r["doc_id"]: r["s"] for r in docs.select("doc_id", simhash("text").alias("s")).collect()}
     ham = lambda a, b: bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")  # noqa: E731
@@ -343,6 +373,39 @@ def test_multiprobe_lsh_recall_floor(spark):
     # no duplicate (query, candidate) pairs leak through multi-probe
     n = multi.count()
     assert multi.dropDuplicates(["query_id", "vec_id"]).count() == n
+    corpus.unpersist()
+
+
+def test_ivf_recall_floor(spark):
+    """IVF with probe widening clears a recall floor, for both the seeded
+    anchor quantizer (the driver query's persisted-index path) and the
+    MLlib k-means trainer; probing more lists never hurts recall."""
+    import random
+
+    from jurisprudencia_privada_etl_spark.operators.similarity import (
+        anchor_centroids,
+        ivf_topk,
+        mean_recall_at_k,
+    )
+
+    rng = random.Random(23)
+    corpus = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(300)],
+        ["vec_id", "embedding"],
+    ).cache()
+    q = corpus.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(corpus, q, k=5).cache()
+    anchors = anchor_centroids(8, 8, seed=23)
+    narrow = ivf_topk(corpus, q, k=5, n_lists=8, n_probe=2, centroids=anchors)
+    wide = ivf_topk(corpus, q, k=5, n_lists=8, n_probe=6, centroids=anchors)
+    r_narrow = mean_recall_at_k(narrow, exact, 5)
+    r_wide = mean_recall_at_k(wide, exact, 5)
+    assert r_wide >= r_narrow
+    assert r_wide >= 0.8
+    kmeans = ivf_topk(corpus, q, k=5, n_lists=8, n_probe=6, seed=23)
+    assert mean_recall_at_k(kmeans, exact, 5) >= 0.8
     corpus.unpersist()
     exact.unpersist()
 
