@@ -42,6 +42,10 @@ class ReplayConfig:
     n_salts: int = 16
     num_partitions: int | None = None  # None → shuffle.partitions + AQE coalesce
     n_buckets: int = 64
+    # >1 splits each bucket's merge output across f tasks/files (key-derived
+    # sub-partitioning, still one exchange) — raises write parallelism and
+    # evens the balls-into-bins task skew; see HadoopParquetSink.__init__
+    files_per_bucket: int = 1
     default_year: int = 2026  # epoch-supplied constant, never wall clock
     use_window_lww: bool = False  # row_number window vs max_by partial agg
     run_extraction: bool = True
@@ -161,7 +165,10 @@ def replay(
 ) -> HadoopParquetSink:
     """Full resumable replay of a stored changelog into a lake table."""
     cfg = cfg or ReplayConfig()
-    sink = HadoopParquetSink(spark, table_path, n_buckets=cfg.n_buckets, merge_strategy=cfg.merge_strategy)
+    sink = HadoopParquetSink(
+        spark, table_path, n_buckets=cfg.n_buckets,
+        merge_strategy=cfg.merge_strategy, files_per_bucket=cfg.files_per_bucket,
+    )
     if not sink.exists():
         sink.create(TableSchema.from_struct(TARGET_SCHEMA))
     if epochs is None:
@@ -186,7 +193,10 @@ def replay_dataframe(
     split per epoch with pruned filters.
     """
     cfg = cfg or ReplayConfig()
-    sink = HadoopParquetSink(spark, table_path, n_buckets=cfg.n_buckets, merge_strategy=cfg.merge_strategy)
+    sink = HadoopParquetSink(
+        spark, table_path, n_buckets=cfg.n_buckets,
+        merge_strategy=cfg.merge_strategy, files_per_bucket=cfg.files_per_bucket,
+    )
     if not sink.exists():
         sink.create(TableSchema.from_struct(TARGET_SCHEMA))
     epochs = sorted(r["epoch"] for r in changelog.select("epoch").distinct().collect())

@@ -106,11 +106,22 @@ class HadoopParquetSink:
         table_path: str,
         n_buckets: int = 64,
         merge_strategy: str = "window",  # "window" (1-shuffle bucket window) | "agg" (union+max_by) | "join" (full outer)
+        files_per_bucket: int = 1,
     ):
         self.spark = spark
         self.table_path = table_path
         self.n_buckets = n_buckets
         self.merge_strategy = merge_strategy
+        # The merge's single shuffle hash-partitions len(touched) distinct
+        # bucket values into len(touched) partitions — a balls-into-bins
+        # layout whose max load is ~3-4 buckets (and ~37% empty tasks), so
+        # the write stage's tail is ~3× its mean and hides WORSE at high
+        # thread counts (fewer waves).  files_per_bucket > 1 adds a
+        # key-derived sub-split to the partitioning AND the window keys:
+        # f× the partitions, each bucket written as f files, same single
+        # exchange (the sub key is a function of the row key, so per-key
+        # windows stay co-located).  Size it so touched × f ≳ 8× cores.
+        self.files_per_bucket = max(1, files_per_bucket)
         # test hook: raise after data files are written but BEFORE the
         # manifest publish — the mid-epoch-restart fixture's kill point.
         self.crash_before_publish = False
@@ -348,7 +359,21 @@ class HadoopParquetSink:
             *body, F.lit(None).cast("string").alias("op"), F.lit(1).alias("_is_target")
         )
         uu = u.select(*body, "op", F.lit(0).alias("_is_target"))
-        both = tt.unionByName(uu).repartition(n_parts, BUCKET_COLUMN)
+        both = tt.unionByName(uu)
+        f = self.files_per_bucket
+        part_cols = [BUCKET_COLUMN]
+        sub_cols: list[str] = []
+        if f > 1:
+            # sub-split key MUST come from a hash independent of bucket_of():
+            # the bucket is xxhash64(key) % n_buckets, so xxhash64(key) % f
+            # with f | n_buckets would be a constant per bucket (no split).
+            # The extra leading literal reseeds the hash.
+            both = both.withColumn(
+                "_sub", F.pmod(F.xxhash64(F.lit(7), *[F.col(k) for k in KEY_COLUMNS]), F.lit(f))
+            )
+            part_cols = [BUCKET_COLUMN, "_sub"]
+            sub_cols = ["_sub"]
+        both = both.repartition(n_parts * f, *part_cols)
 
         # Deterministic single winner per key: on an ordinal tie (malformed
         # changelog / external source without the uniqueness guarantee) the
@@ -356,7 +381,7 @@ class HadoopParquetSink:
         # ``u.ordinal > t.ordinal`` guard — so the primary-key invariant holds
         # for any input and all three strategies agree.  Both window exprs
         # share the (partition, order) spec → ONE WindowExec, one sort.
-        w_ord = Window.partitionBy(BUCKET_COLUMN, *KEY_COLUMNS).orderBy(
+        w_ord = Window.partitionBy(*part_cols, *KEY_COLUMNS).orderBy(
             F.col("ordinal").desc(), F.col("_is_target").desc()
         )
         w_all = w_ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)

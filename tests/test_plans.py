@@ -133,3 +133,40 @@ def test_multiprobe_lsh_explodes_query_side_only(spark):
     bcast_idx = plan.find("BroadcastExchange")
     gen_idx = plan.find("Generate explode")
     assert bcast_idx != -1 and gen_idx > bcast_idx
+
+
+def test_files_per_bucket_keeps_single_merge_exchange(spark, tmp_path):
+    """The window merge's sub-split (files_per_bucket > 1) must not cost a
+    second exchange: HashPartitioning(_bucket, _sub) still satisfies the
+    window's clustering because _sub is key-derived.  Results are identical
+    to f=1 and each touched bucket is written as multiple files."""
+    import re
+
+    from jurisprudencia_privada_etl_spark.plans.replay import ReplayConfig, replay_dataframe
+    from jurisprudencia_privada_etl_spark.sources.generator import synthetic_changelog
+
+    log = synthetic_changelog(spark, 4000, n_epochs=2, num_partitions=4).cache()
+    results = {}
+    for f in (1, 3):
+        table = str(tmp_path / f"t{f}")
+        sink = replay_dataframe(
+            spark, log, table, ReplayConfig(n_buckets=8, files_per_bucket=f)
+        )
+        results[f] = sorted(
+            (r["repo"], r["path"], r["ordinal"], r["content_sha"])
+            for r in sink.load().collect()
+        )
+        if f > 1:
+            # merge plan: exactly one exchange keyed on (_bucket, _sub)
+            m = sink._merge_window(
+                sink.load(buckets=list(range(8)), include_tombstones=True).limit(0),
+                sink.load(buckets=list(range(8)), include_tombstones=True)
+                .withColumn("op", F.lit("U"))
+                .withColumn("_is_target", F.lit(0)),
+                [c.name for c in sink.manifest().schema.columns],
+                8,
+            )
+            exs = re.findall(r"Exchange hashpartitioning\(([^)]*)", plan_of(m))
+            assert len(exs) == 1 and "_sub" in exs[0] and "_bucket" in exs[0]
+    assert results[1] == results[3]
+    log.unpersist()
