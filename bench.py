@@ -69,7 +69,8 @@ def bench_replay(spark, n_events: int, cpus: int, reps: int = 2) -> dict:
     # channels ON in the benched replay so their cost is measured, not
     # fixture-only (round-2 judge item #10).
     cfg = ReplayConfig(
-        n_salts=16, n_buckets=128, validate=True, conflict_fields=["lang", "content"]
+        n_salts=16, n_buckets=128, files_per_bucket=4,
+        validate=True, conflict_fields=["lang", "content"],
     )
 
     old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
