@@ -1,0 +1,105 @@
+"""Change data feed: emit the row-level delta between two table snapshots.
+
+The reverse of the replay direction — the engine's tables are themselves a
+CDC *source* for downstream consumers (the Delta Lake "change data feed" /
+Iceberg "changelog scan" shape).  Two layers:
+
+* ``diff_states`` — pure DataFrame diff of two keyed states; engine-agnostic,
+  oracle-testable (the ``change_feed`` driver query pairs it with a DuckDB
+  full-outer-join oracle).
+* ``change_feed`` — snapshot-aware wrapper over ``HadoopParquetSink``: reads
+  ONLY the buckets whose manifest entries differ between the two versions,
+  so the scan cost is O(changed data), not O(table).  At 100 TB with a 1%
+  epoch touch rate, the feed for one epoch reads ~1% of the files — the same
+  pruning the merge itself enjoys.
+
+Change-type vocabulary follows the public Delta CDF convention:
+``insert`` / ``delete`` / ``update_preimage`` / ``update_postimage``.
+
+Reference parity note: the reference has no table-diff surface (its sink is
+a remote search index); this operator is part of the round-3 "what a lake
+engine at this scale additionally needs" family (SURVEY.md §8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from jurisprudencia_privada_etl_spark.schemas import KEY_COLUMNS
+
+CHANGE_TYPE_COLUMN = "_change_type"
+
+
+def diff_states(
+    old: DataFrame, new: DataFrame, keys: list[str] | None = None
+) -> DataFrame:
+    """Row-level delta from ``old`` to ``new``, both one-row-per-key.
+
+    One full-outer join on the keys, one pass: a key only in ``new`` emits
+    an ``insert`` row (new image), only in ``old`` a ``delete`` row (old
+    image), present in both with any payload difference an
+    ``update_preimage`` (old image) plus ``update_postimage`` (new image)
+    pair, identical rows emit nothing.  Payload columns are taken from
+    ``new``; columns ``old`` lacks (schema evolution between the snapshots)
+    compare as null.  Struct equality is null-safe (``<=>``), so null
+    payloads do not read as spurious updates.
+    """
+    keys = keys or KEY_COLUMNS
+    pay = [c for c in new.columns if c not in keys]
+    o = old
+    for c in pay:
+        if c not in o.columns:
+            o = o.withColumn(c, F.lit(None).cast(new.schema[c].dataType))
+    o = o.select(*keys, F.struct(*pay).alias("_o"))
+    n = new.select(*keys, F.struct(*pay).alias("_n"))
+    j = o.join(n, on=keys, how="full_outer")
+
+    def tagged(tag: str, img: str) -> F.Column:
+        return F.struct(F.lit(tag).alias("t"), F.col(img).alias("img"))
+
+    changes = (
+        F.when(F.col("_o").isNull(), F.array(tagged("insert", "_n")))
+        .when(F.col("_n").isNull(), F.array(tagged("delete", "_o")))
+        .when(
+            ~F.col("_o").eqNullSafe(F.col("_n")),
+            F.array(tagged("update_preimage", "_o"), tagged("update_postimage", "_n")),
+        )
+        .otherwise(F.array().cast(f"array<struct<t:string,img:struct<{_ddl(new, pay)}>>>"))
+    )
+    return (
+        j.select(*keys, F.explode(changes).alias("_c"))
+        .select(*keys, "_c.img.*", F.col("_c.t").alias(CHANGE_TYPE_COLUMN))
+    )
+
+
+def _ddl(df: DataFrame, cols: list[str]) -> str:
+    return ",".join(f"`{c}`:{df.schema[c].dataType.simpleString()}" for c in cols)
+
+
+def change_feed(sink, from_version: int, to_version: int | None = None) -> DataFrame:
+    """Delta between two committed snapshots of a ``HadoopParquetSink``.
+
+    Bucket-pruned: the two manifests are compared driver-side (pure
+    metadata) and only buckets whose file entries differ are scanned at
+    either version.  Maintenance-only versions (compaction rewrote files,
+    rows unchanged) scan the rewritten buckets and correctly emit nothing.
+    """
+    from jurisprudencia_privada_etl_spark.plans.sink import BUCKET_COLUMN
+
+    m0 = sink.manifest(from_version)
+    m1 = sink.manifest(to_version)
+    if m0.n_buckets != m1.n_buckets:  # pragma: no cover - n_buckets is fixed at create
+        raise ValueError("change_feed across re-bucketed snapshots is not supported")
+    changed = sorted(
+        int(b)
+        for b in set(m0.buckets) | set(m1.buckets)
+        if m0.buckets.get(b) != m1.buckets.get(b)
+    )
+    old = sink.load(buckets=changed, version=from_version).drop(BUCKET_COLUMN)
+    new = sink.load(buckets=changed, version=m1.version).drop(BUCKET_COLUMN)
+    return (
+        diff_states(old, new, KEY_COLUMNS)
+        .withColumn("_from_version", F.lit(from_version))
+        .withColumn("_to_version", F.lit(m1.version))
+    )

@@ -145,11 +145,44 @@ class HadoopParquetSink:
             ),
         )
 
-    def manifest(self) -> mf.Manifest:
-        m = mf.load(self.table_path)
+    def manifest(self, version: int | None = None) -> mf.Manifest:
+        m = mf.load(self.table_path, version)
         if m is None:
             raise FileNotFoundError(f"no manifest at {self.table_path}")
         return m
+
+    def snapshots(self) -> list[dict[str, Any]]:
+        """Snapshot history, oldest first — one row per retained manifest
+        version (the Iceberg `snapshots` metadata-table analog).  Driver-side
+        metadata only; never touches data files."""
+        d = os.path.join(self.table_path, mf.MANIFEST_DIR)
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for name in sorted(os.listdir(d)):
+            if not (name.startswith("v") and name.endswith(".json")):
+                continue
+            m = mf.load(self.table_path, int(name[1:9]))
+            out.append(
+                {
+                    "version": m.version,
+                    "parent_version": m.parent_version,
+                    "last_committed_epoch": m.last_committed_epoch,
+                    "operation": (
+                        "vacuum"
+                        if "vacuum_below" in m.metrics
+                        else "compact"
+                        if "compacted_buckets" in m.metrics
+                        else "evolve"
+                        if "evolution" in m.metrics
+                        else "merge"
+                        if m.version > 0
+                        else "create"
+                    ),
+                    "metrics": m.metrics,
+                }
+            )
+        return out
 
     def last_committed_epoch(self) -> int:
         return self.manifest().last_committed_epoch
@@ -187,8 +220,13 @@ class HadoopParquetSink:
         ] + [T.StructField(BUCKET_COLUMN, T.IntegerType(), True)]
         return self.spark.createDataFrame([], T.StructType(fields))
 
-    def load(self, buckets: list[int] | None = None, include_tombstones: bool = False) -> DataFrame:
-        """Current snapshot, aligned to the current schema.
+    def load(
+        self,
+        buckets: list[int] | None = None,
+        include_tombstones: bool = False,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Snapshot read, aligned to the snapshot's schema.
 
         Buckets written before a schema evolution are mapped by column id:
         renamed columns are aliased to their current names, added columns
@@ -196,8 +234,14 @@ class HadoopParquetSink:
 
         ``include_tombstones`` exposes retained soft-delete rows (the merge
         needs them; readers do not).
+
+        ``version`` time-travels: the copy-on-write layout means an old
+        manifest's bucket→file mapping still points at intact files (until
+        ``expire_snapshots`` reclaims them), so reading as-of any retained
+        version is a pure metadata swap — no data rewrite, no extra IO
+        beyond the old snapshot's own files.
         """
-        m = self.manifest()
+        m = self.manifest(version)
         cur = m.schema
         wanted = m.buckets
         if buckets is not None:
@@ -595,6 +639,132 @@ class HadoopParquetSink:
             ),
         )
         return {"vacuumed_buckets": len(affected)}
+
+    # -- table maintenance -----------------------------------------------------
+
+    def compact(self, target_files_per_bucket: int = 1, min_files: int = 2) -> dict:
+        """Small-file compaction (the Iceberg ``rewrite_data_files`` analog).
+
+        Long replay histories accumulate buckets written with
+        ``files_per_bucket > 1`` (the write-parallelism sub-split) or by
+        multi-task writes; at scan time each file costs a task + a footer
+        read, so at 100 TB a 10×-overfiled table reads 10× slower than its
+        data volume warrants.  Rewrites every bucket whose parquet file
+        count exceeds ``min_files`` down to ``target_files_per_bucket``,
+        publishes a new manifest version, and carries untouched buckets
+        forward by reference — data content is bit-identical (pure layout
+        change, asserted by test), ``last_committed_epoch`` unchanged, so
+        compaction can run concurrently-safe between epochs at any time.
+        """
+        m = self.manifest()
+        affected: list[int] = []
+        for b, entry in m.buckets.items():
+            d = os.path.join(self.table_path, entry["path"])
+            n_files = sum(
+                1 for f in os.listdir(d) if f.startswith("part-") and f.endswith(".parquet")
+            )
+            if n_files > max(min_files, target_files_per_bucket):
+                affected.append(int(b))
+        if not affected:
+            return {"compacted_buckets": 0, "files_written": 0}
+        affected.sort()
+        new_version = m.version + 1
+        keep = self.load(buckets=affected, include_tombstones=True)
+        data_rel = os.path.join("data", f"v{new_version:08d}")
+        data_dir = os.path.join(self.table_path, data_rel)
+        n_parts = max(1, len(affected) * max(1, target_files_per_bucket))
+        if target_files_per_bucket > 1:
+            sub = F.pmod(F.xxhash64(*KEY_COLUMNS, F.lit(-1)), F.lit(target_files_per_bucket))
+            parted = keep.repartition(n_parts, F.col(BUCKET_COLUMN), sub)
+        else:
+            parted = keep.repartition(n_parts, BUCKET_COLUMN)
+        parted.write.mode("overwrite").partitionBy(BUCKET_COLUMN).parquet(data_dir)
+        live = {
+            int(name.split("=", 1)[1])
+            for name in os.listdir(data_dir)
+            if name.startswith(f"{BUCKET_COLUMN}=")
+        }
+        files_written = 0
+        buckets = dict(m.buckets)
+        for b in affected:
+            if b in live:
+                rel = os.path.join(data_rel, f"{BUCKET_COLUMN}={b}")
+                buckets[str(b)] = {"path": rel, "schema_version": new_version}
+                files_written += sum(
+                    1
+                    for f in os.listdir(os.path.join(self.table_path, rel))
+                    if f.startswith("part-") and f.endswith(".parquet")
+                )
+            else:  # pragma: no cover - compaction never drops a live bucket
+                buckets.pop(str(b), None)
+        mf.publish(
+            self.table_path,
+            mf.Manifest(
+                version=new_version,
+                last_committed_epoch=m.last_committed_epoch,
+                schema=m.schema,
+                buckets=buckets,
+                n_buckets=m.n_buckets,
+                metrics={"compacted_buckets": len(affected), "files_written": files_written},
+                parent_version=m.version,
+            ),
+        )
+        return {"compacted_buckets": len(affected), "files_written": files_written}
+
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Reclaim space held by old snapshots (Iceberg ``expire_snapshots``).
+
+        Copy-on-write keeps every superseded bucket file alive so time-travel
+        works; at scale that is unbounded growth — every merge strands the
+        touched buckets' previous files.  Retains the newest ``keep_last``
+        manifest versions PLUS every older manifest still referenced as a
+        ``schema_version`` by a retained bucket entry (those manifests carry
+        the column-id mapping ``load`` needs — dropping them would break
+        reads of un-rewritten old buckets).  Deletes, at per-bucket-dir
+        granularity, every data directory no retained manifest references,
+        then prunes empty ``data/v{N}`` parents and the expired manifest
+        files.  Time-travel to an expired version raises FileNotFoundError.
+        """
+        import shutil
+
+        cur = mf.current_version(self.table_path)
+        if cur is None:
+            return {"expired_manifests": 0, "deleted_bucket_dirs": 0}
+        mdir = os.path.join(self.table_path, mf.MANIFEST_DIR)
+        versions = sorted(
+            int(n[1:9]) for n in os.listdir(mdir) if n.startswith("v") and n.endswith(".json")
+        )
+        retained = set(versions[-max(1, keep_last):])
+        # schema_version back-references keep their manifests alive
+        referenced_paths: set[str] = set()
+        for v in list(retained):
+            m = mf.load(self.table_path, v)
+            for entry in m.buckets.values():
+                retained.add(entry["schema_version"])
+                referenced_paths.add(os.path.normpath(entry["path"]))
+        expired = [v for v in versions if v not in retained]
+
+        # per-bucket-dir GC of unreferenced data
+        deleted_dirs = 0
+        data_root = os.path.join(self.table_path, "data")
+        if os.path.isdir(data_root):
+            for vdir in sorted(os.listdir(data_root)):
+                vpath = os.path.join(data_root, vdir)
+                if not os.path.isdir(vpath):
+                    continue
+                for bdir in os.listdir(vpath):
+                    rel = os.path.normpath(os.path.join("data", vdir, bdir))
+                    if bdir.startswith(f"{BUCKET_COLUMN}=") and rel not in referenced_paths:
+                        shutil.rmtree(os.path.join(vpath, bdir), ignore_errors=True)
+                        deleted_dirs += 1
+                if not any(n.startswith(f"{BUCKET_COLUMN}=") for n in os.listdir(vpath)):
+                    shutil.rmtree(vpath, ignore_errors=True)
+        for v in expired:
+            try:
+                os.remove(os.path.join(mdir, f"v{v:08d}.json"))
+            except FileNotFoundError:  # pragma: no cover
+                pass
+        return {"expired_manifests": len(expired), "deleted_bucket_dirs": deleted_dirs}
 
 
 class IcebergSink:

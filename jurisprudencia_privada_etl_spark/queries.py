@@ -1358,6 +1358,106 @@ SQL_MULTIMODAL_FEATURES = _multimodal_oracle_sql()
 
 
 # ---------------------------------------------------------------------------
+# change data feed + CDC interchange (round 3; SURVEY.md §8)
+# ---------------------------------------------------------------------------
+
+
+def q_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level delta between the table state as of epoch 2 and the final
+    state (operators/change_feed.diff_states — the Delta-CDF-shaped feed).
+    The oracle recomputes both LWW states and classifies via a full outer
+    join, so insert/delete/update_pre/postimage semantics are all checked."""
+    from jurisprudencia_privada_etl_spark.operators.change_feed import diff_states
+
+    log = derived_changelog(spark, sf_dir)
+    cols = ["repo", "path", "ordinal", "content_sha"]
+
+    def state(df):
+        live = lww_dedup(df, ["repo", "path"], "ordinal").where(F.col("op") != "D")
+        return live.select(
+            "repo", "path", "ordinal", F.sha2(F.col("content"), 256).alias("content_sha")
+        )
+
+    old = state(log.where(F.col("epoch") <= 2))
+    new = state(log)
+    return diff_states(old, new, ["repo", "path"]).select(
+        *cols, F.col("_change_type").alias("change_type")
+    )
+
+
+SQL_CHANGE_DATA_FEED = f"""
+WITH {CHANGELOG_CTE},
+s0 AS (
+    SELECT repo, path, ordinal, sha256(content) AS content_sha FROM (
+        SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY ordinal DESC) rn
+        FROM changelog WHERE epoch <= 2
+    ) WHERE rn = 1 AND op <> 'D'
+),
+s1 AS (
+    SELECT repo, path, ordinal, sha256(content) AS content_sha FROM (
+        SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY ordinal DESC) rn
+        FROM changelog
+    ) WHERE rn = 1 AND op <> 'D'
+),
+j AS (
+    SELECT s0.repo AS r0, s0.path AS p0, s0.ordinal AS o0, s0.content_sha AS c0,
+           s1.repo AS r1, s1.path AS p1, s1.ordinal AS o1, s1.content_sha AS c1
+    FROM s0 FULL OUTER JOIN s1 ON s0.repo = s1.repo AND s0.path = s1.path
+)
+SELECT r1 AS repo, p1 AS path, o1 AS ordinal, c1 AS content_sha, 'insert' AS change_type
+FROM j WHERE r0 IS NULL
+UNION ALL
+SELECT r0, p0, o0, c0, 'delete' FROM j WHERE r1 IS NULL
+UNION ALL
+SELECT r0, p0, o0, c0, 'update_preimage' FROM j
+WHERE r0 IS NOT NULL AND r1 IS NOT NULL AND o0 <> o1
+UNION ALL
+SELECT r1, p1, o1, c1, 'update_postimage' FROM j
+WHERE r0 IS NOT NULL AND r1 IS NOT NULL AND o0 <> o1
+"""
+
+
+def q_debezium_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium envelope round trip: the derived changelog is serialized to
+    envelope JSON (op c/u/d, before/after images, source.lsn) and normalized
+    back through sources/debezium.parse_debezium — from_json with the
+    declared envelope schema, all JVM-side.  The oracle computes the parse's
+    expected output directly from the events table (the envelope is a
+    deterministic function of it), so op mapping, delete-image selection,
+    lsn ordering and epoch derivation are all value-checked."""
+    from jurisprudencia_privada_etl_spark.sources.debezium import parse_debezium
+
+    log = derived_changelog(spark, sf_dir)
+    row = F.struct("repo", "path", "commit", "lang", "content")
+    payload = F.struct(
+        F.when(F.col("op") == "D", row).alias("before"),
+        F.when(F.col("op") != "D", row).alias("after"),
+        F.struct(
+            F.lit(None).cast("long").alias("ts_ms"),
+            F.col("ordinal").alias("lsn"),
+            F.lit("app").alias("db"),
+            F.lit("repos").alias("table"),
+        ).alias("source"),
+        F.when(F.col("op") == "I", F.lit("c"))
+        .when(F.col("op") == "U", F.lit("u"))
+        .otherwise(F.lit("d"))
+        .alias("op"),
+        F.lit(None).cast("long").alias("ts_ms"),
+    )
+    raw = log.select(F.to_json(F.struct(payload.alias("payload"))).alias("value"))
+    return parse_debezium(raw, events_per_epoch=4096).select(
+        "epoch", "ordinal", "op", "repo", "path", "commit", "lang", "content"
+    )
+
+
+SQL_DEBEZIUM_PARSE = f"""
+WITH {CHANGELOG_CTE}
+SELECT ordinal // 4096 AS epoch, ordinal, op, repo, path, commit, lang, content
+FROM changelog
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1406,6 +1506,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_topk": q_ivf_topk,
     "embedding_dedup_count": q_embedding_dedup_count,
     "multimodal_features": q_multimodal_features,
+    # table-maintenance / CDC-interchange family (round 3):
+    "change_data_feed": q_change_data_feed,
+    "debezium_parse": q_debezium_parse,
 }
 
 ORACLES: dict[str, str] = {
@@ -1451,4 +1554,6 @@ ORACLES: dict[str, str] = {
     "ivf_topk": SQL_IVF_TOPK,
     "embedding_dedup_count": SQL_EMBEDDING_DEDUP_COUNT,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
+    "change_data_feed": SQL_CHANGE_DATA_FEED,
+    "debezium_parse": SQL_DEBEZIUM_PARSE,
 }

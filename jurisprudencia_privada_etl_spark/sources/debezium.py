@@ -1,0 +1,94 @@
+"""Debezium CDC envelope ingestion → the engine's normalized changelog.
+
+The north rule's source is a "binlog/WAL tail"; the de-facto public
+interchange for that is the Debezium envelope (Kafka Connect):
+
+    {"payload": {"before": {...}|null, "after": {...}|null,
+                 "source": {"ts_ms":…, "lsn":…, "db":…, "table":…},
+                 "op": "c"|"u"|"d"|"r", "ts_ms": …}}
+
+``parse_debezium`` turns a DataFrame of such JSON strings (a Kafka topic's
+``value`` column, a file dump, …) into rows of ``CHANGELOG_SCHEMA`` so the
+entire replay pipeline (salt → extract → LWW → MERGE) runs unchanged on a
+real CDC tail.  Entirely JVM-side (``from_json`` with a declared schema +
+column expressions — no Python in the row path), so the parse stays inside
+whole-stage codegen and scales with executor count.
+
+Mapping:
+  * op: c/r (create/snapshot-read) → I, u → U, d → D
+  * row image: ``after``; for deletes ``before`` (Debezium leaves ``after``
+    null on d)
+  * ordinal: ``source.lsn`` when present (the WAL's total order), else
+    ``payload.ts_ms`` — callers with neither must supply their own ordering
+  * epoch: ``floor(ordinal / events_per_epoch)`` by default, or any caller
+    expression (e.g. a Kafka partition-offset window)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from jurisprudencia_privada_etl_spark.schemas import TARGET_SCHEMA
+
+
+def debezium_envelope_schema(row_schema: T.StructType = TARGET_SCHEMA) -> T.StructType:
+    """The typed envelope for ``from_json`` — declared, never inferred (a
+    10^10-event tail cannot afford schema inference, and inference would
+    silently widen on dirty rows instead of nulling them)."""
+    row = T.StructType([T.StructField(f.name, f.dataType, True) for f in row_schema.fields])
+    source = T.StructType(
+        [
+            T.StructField("ts_ms", T.LongType(), True),
+            T.StructField("lsn", T.LongType(), True),
+            T.StructField("db", T.StringType(), True),
+            T.StructField("table", T.StringType(), True),
+        ]
+    )
+    payload = T.StructType(
+        [
+            T.StructField("before", row, True),
+            T.StructField("after", row, True),
+            T.StructField("source", source, True),
+            T.StructField("op", T.StringType(), True),
+            T.StructField("ts_ms", T.LongType(), True),
+        ]
+    )
+    return T.StructType([T.StructField("payload", payload, True)])
+
+
+def parse_debezium(
+    df: DataFrame,
+    value_col: str = "value",
+    row_schema: T.StructType = TARGET_SCHEMA,
+    events_per_epoch: int = 1_000_000,
+    epoch: Column | None = None,
+) -> DataFrame:
+    """Normalize Debezium envelopes to ``CHANGELOG_SCHEMA`` columns.
+
+    Malformed JSON or envelopes missing ``payload.op`` yield null-op rows a
+    caller can divert to the dead-letter channel (operators/reconcile.py
+    ``split_valid``) — the parse itself never throws (from_json PERMISSIVE).
+    """
+    env = F.from_json(F.col(value_col), debezium_envelope_schema(row_schema))
+    p = env.getField("payload")
+    op_raw = p.getField("op")
+    op = (
+        F.when(op_raw.isin("c", "r"), F.lit("I"))
+        .when(op_raw == "u", F.lit("U"))
+        .when(op_raw == "d", F.lit("D"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    image = F.when(op_raw == "d", p.getField("before")).otherwise(p.getField("after"))
+    ordinal = F.coalesce(p.getField("source").getField("lsn"), p.getField("ts_ms"))
+    epoch_col = (
+        epoch if epoch is not None else F.floor(ordinal / F.lit(events_per_epoch)).cast("long")
+    )
+    cols = [
+        epoch_col.alias("epoch"),
+        ordinal.cast("long").alias("ordinal"),
+        op.alias("op"),
+    ]
+    cols += [image.getField(f.name).alias(f.name) for f in row_schema.fields]
+    return df.select(*cols)

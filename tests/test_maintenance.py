@@ -1,0 +1,274 @@
+"""Table maintenance + CDC-interchange surfaces (SURVEY.md §8, round 3):
+time-travel reads, snapshot history, change data feed, small-file
+compaction, snapshot expiry, Debezium envelope ingestion."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from jurisprudencia_privada_etl_spark.operators.change_feed import change_feed, diff_states
+from jurisprudencia_privada_etl_spark.plans.replay import ReplayConfig, replay_dataframe
+from jurisprudencia_privada_etl_spark.sources.debezium import parse_debezium
+from jurisprudencia_privada_etl_spark.sources.generator import synthetic_changelog
+
+from tests.conftest import assert_state_equal, oracle_reduce
+
+PAYLOAD = ["repo", "path", "commit", "lang", "content", "ordinal", "content_sha"]
+
+
+def _state(sink, version=None) -> pd.DataFrame:
+    return sink.load(version=version).select(*PAYLOAD).toPandas()
+
+
+def _mixed_log(spark, n=2500, epochs=3, seed=19):
+    return synthetic_changelog(
+        spark, n, seed=seed, n_epochs=epochs, n_repos=8, paths_per_repo=60,
+        pct_update=0.4, pct_delete=0.15,
+    )
+
+
+# -- time travel + snapshot history ------------------------------------------
+
+
+def test_time_travel_reads_each_epoch_state(spark, tmp_path):
+    """load(version=) reproduces the exact post-epoch state for every
+    committed epoch — copy-on-write means old snapshots stay readable."""
+    log = _mixed_log(spark)
+    pdf = log.toPandas()
+    sink = replay_dataframe(spark, log, str(tmp_path / "t"))
+    snaps = sink.snapshots()
+    merges = {s["last_committed_epoch"]: s["version"] for s in snaps if s["operation"] == "merge"}
+    assert sorted(merges) == sorted(pdf["epoch"].unique())
+    for epoch, version in merges.items():
+        expected = oracle_reduce(pdf[pdf["epoch"] <= epoch])
+        assert_state_equal(_state(sink, version=version), expected)
+    # default load == newest version
+    assert_state_equal(_state(sink), oracle_reduce(pdf))
+
+
+def test_snapshot_history_operations(spark, tmp_path):
+    log = _mixed_log(spark, n=600, epochs=2, seed=31)
+    sink = replay_dataframe(spark, log, str(tmp_path / "t"))
+    ops = [s["operation"] for s in sink.snapshots()]
+    assert ops == ["create", "merge", "merge"]
+    sink.compact(min_files=0)  # force a maintenance snapshot (may be no-op)
+    snaps = sink.snapshots()
+    assert snaps[-1]["operation"] in ("compact", "merge")
+    assert all(s["version"] == i for i, s in enumerate(snaps))
+
+
+# -- change data feed ----------------------------------------------------------
+
+
+def test_diff_states_frame_level(spark):
+    old = spark.createDataFrame(
+        [("r1", "a", "x", 1), ("r1", "b", "y", 2), ("r1", "c", None, 3)],
+        "repo string, path string, content string, ordinal int",
+    )
+    new = spark.createDataFrame(
+        [("r1", "a", "x", 1), ("r1", "b", "y2", 5), ("r1", "d", "z", 6)],
+        "repo string, path string, content string, ordinal int",
+    )
+    got = {
+        (r["path"], r["_change_type"]): (r["content"], r["ordinal"])
+        for r in diff_states(old, new, ["repo", "path"]).collect()
+    }
+    assert got == {
+        ("b", "update_preimage"): ("y", 2),
+        ("b", "update_postimage"): ("y2", 5),
+        ("c", "delete"): (None, 3),
+        ("d", "insert"): ("z", 6),
+    }
+
+
+def test_diff_states_nulls_are_not_updates(spark):
+    old = spark.createDataFrame([("r", "p", None)], "repo string, path string, content string")
+    new = spark.createDataFrame([("r", "p", None)], "repo string, path string, content string")
+    assert diff_states(old, new, ["repo", "path"]).count() == 0
+
+
+def test_change_feed_between_snapshots(spark, tmp_path):
+    """Sink-level feed matches an independent pandas diff of the two
+    oracle-reduced states, including delete/insert/update classification."""
+    log = _mixed_log(spark)
+    pdf = log.toPandas()
+    sink = replay_dataframe(spark, log, str(tmp_path / "t"))
+    merges = {
+        s["last_committed_epoch"]: s["version"]
+        for s in sink.snapshots()
+        if s["operation"] == "merge"
+    }
+    feed = change_feed(sink, merges[0]).select("repo", "path", "_change_type").toPandas()
+    s0 = oracle_reduce(pdf[pdf["epoch"] <= 0]).set_index(["repo", "path"])
+    s2 = oracle_reduce(pdf).set_index(["repo", "path"])
+    expected = {}
+    for k in s2.index.difference(s0.index):
+        expected[k] = ["insert"]
+    for k in s0.index.difference(s2.index):
+        expected[k] = ["delete"]
+    for k in s0.index.intersection(s2.index):
+        if s0.loc[k, "content_sha"] != s2.loc[k, "content_sha"] or s0.loc[k, "ordinal"] != s2.loc[k, "ordinal"]:
+            expected[k] = ["update_preimage", "update_postimage"]
+    got: dict = {}
+    for r in feed.itertuples():
+        got.setdefault((r.repo, r.path), []).append(r._3)
+    got = {k: sorted(v) for k, v in got.items()}
+    assert got == {k: sorted(v) for k, v in expected.items()}
+    # feed carries the version stamps
+    vs = change_feed(sink, merges[0]).select("_from_version", "_to_version").first()
+    assert (vs[0], vs[1]) == (merges[0], merges[max(merges)])
+
+
+def test_change_feed_maintenance_only_is_empty(spark, tmp_path):
+    log = _mixed_log(spark, n=500, epochs=1, seed=7)
+    sink = replay_dataframe(
+        spark, log, str(tmp_path / "t"), ReplayConfig(files_per_bucket=4)
+    )
+    v0 = sink.manifest().version
+    res = sink.compact(target_files_per_bucket=1, min_files=1)
+    assert res["compacted_buckets"] > 0
+    assert change_feed(sink, v0).count() == 0
+
+
+# -- compaction ----------------------------------------------------------------
+
+
+def _bucket_file_counts(sink) -> list[int]:
+    m = sink.manifest()
+    out = []
+    for entry in m.buckets.values():
+        d = os.path.join(sink.table_path, entry["path"])
+        out.append(
+            sum(1 for f in os.listdir(d) if f.startswith("part-") and f.endswith(".parquet"))
+        )
+    return out
+
+
+def test_compact_reduces_files_and_preserves_state(spark, tmp_path):
+    log = _mixed_log(spark, n=2000, epochs=2, seed=13)
+    pdf = log.toPandas()
+    sink = replay_dataframe(
+        spark, log, str(tmp_path / "t"), ReplayConfig(files_per_bucket=4)
+    )
+    before = _bucket_file_counts(sink)
+    assert max(before) > 1  # the sub-split actually produced multiple files
+    epoch_before = sink.last_committed_epoch()
+    res = sink.compact(target_files_per_bucket=1, min_files=1)
+    assert res["compacted_buckets"] > 0
+    after = _bucket_file_counts(sink)
+    assert max(after) == 1
+    assert sink.last_committed_epoch() == epoch_before  # pure layout change
+    assert_state_equal(_state(sink), oracle_reduce(pdf))
+    # tombstones survive compaction (they are data, not garbage)
+    with_tombs = sink.load(include_tombstones=True).count()
+    assert with_tombs >= len(oracle_reduce(pdf))
+
+
+def test_compact_noop_when_already_compact(spark, tmp_path):
+    log = _mixed_log(spark, n=400, epochs=1, seed=3)
+    sink = replay_dataframe(spark, log, str(tmp_path / "t"))
+    v = sink.manifest().version
+    assert sink.compact()["compacted_buckets"] == 0
+    assert sink.manifest().version == v  # no empty snapshot published
+
+
+# -- snapshot expiry -------------------------------------------------------------
+
+
+def test_expire_snapshots_gc_and_retention(spark, tmp_path):
+    log = _mixed_log(spark)
+    pdf = log.toPandas()
+    sink = replay_dataframe(spark, log, str(tmp_path / "t"))
+    versions = [s["version"] for s in sink.snapshots()]
+    res = sink.expire_snapshots(keep_last=1)
+    assert res["expired_manifests"] > 0
+    # current state unaffected — including buckets last written epochs ago
+    assert_state_equal(_state(sink), oracle_reduce(pdf))
+    # expired versions are gone for time travel
+    live = {s["version"] for s in sink.snapshots()}
+    assert versions[-1] in live
+    dead = [v for v in versions if v not in live]
+    assert dead
+    with pytest.raises(FileNotFoundError):
+        sink.load(version=dead[0])
+
+
+def test_expire_keeps_schema_version_manifests(spark, tmp_path):
+    """A bucket written at v1 and untouched since must stay readable after
+    expiry: its schema_version manifest and data dir are retained even when
+    v1 is older than the keep_last horizon."""
+    log = _mixed_log(spark, n=3000, epochs=4, seed=41)
+    pdf = log.toPandas()
+    sink = replay_dataframe(spark, log, str(tmp_path / "t"))
+    m = sink.manifest()
+    assert len({e["schema_version"] for e in m.buckets.values()}) >= 1
+    sink.expire_snapshots(keep_last=1)
+    assert_state_equal(_state(sink), oracle_reduce(pdf))
+
+
+# -- Debezium envelope ingestion -------------------------------------------------
+
+
+def _envelope(op, row, lsn=None, ts_ms=None):
+    before = row if op == "d" else None
+    after = None if op == "d" else row
+    return json.dumps(
+        {
+            "payload": {
+                "before": before,
+                "after": after,
+                "source": {"ts_ms": ts_ms, "lsn": lsn, "db": "app", "table": "repos"},
+                "op": op,
+                "ts_ms": ts_ms,
+            }
+        }
+    )
+
+
+def test_parse_debezium_normalizes_ops_and_images(spark):
+    row1 = {"repo": "r1", "path": "a.py", "commit": "c1", "lang": "py", "content": "x"}
+    row2 = {"repo": "r1", "path": "a.py", "commit": "c2", "lang": "py", "content": "y"}
+    vals = [
+        (_envelope("c", row1, lsn=10),),
+        (_envelope("u", row2, lsn=20),),
+        (_envelope("d", row2, lsn=30),),
+        (_envelope("r", row1, lsn=None, ts_ms=40),),  # snapshot read + lsn fallback
+        ("{not json",),  # malformed → null-op row, never throws
+    ]
+    df = spark.createDataFrame(vals, "value string")
+    out = parse_debezium(df, events_per_epoch=25).orderBy(F.asc_nulls_last("ordinal")).collect()
+    assert [r["op"] for r in out[:4]] == ["I", "U", "D", "I"]
+    assert [r["ordinal"] for r in out[:4]] == [10, 20, 30, 40]
+    assert [r["epoch"] for r in out[:4]] == [0, 0, 1, 1]
+    assert out[1]["content"] == "y"
+    assert out[2]["content"] == "y"  # delete image comes from `before`
+    bad = [r for r in out if r["op"] is None]
+    assert len(bad) == 1 and bad[0]["ordinal"] is None
+
+
+def test_debezium_feed_replays_to_converged_state(spark, tmp_path):
+    """End-to-end: a Debezium tail → parse → full replay → LWW state matches
+    the independent reducer (the whole pipeline runs unchanged on the
+    normalized envelopes)."""
+    log = _mixed_log(spark, n=800, epochs=2, seed=29).toPandas()
+    vals = [
+        (
+            _envelope(
+                {"I": "c", "U": "u", "D": "d"}[r.op],
+                {"repo": r.repo, "path": r.path, "commit": r.commit,
+                 "lang": r.lang, "content": r.content},
+                lsn=int(r.ordinal),
+            ),
+        )
+        for r in log.itertuples()
+    ]
+    raw = spark.createDataFrame(vals, "value string")
+    max_ord = int(log[log["epoch"] == 0]["ordinal"].max()) + 1
+    parsed = parse_debezium(raw, events_per_epoch=max_ord)
+    sink = replay_dataframe(spark, parsed, str(tmp_path / "t"))
+    assert_state_equal(_state(sink), oracle_reduce(log))
