@@ -89,7 +89,9 @@ def change_feed(sink, from_version: int, to_version: int | None = None) -> DataF
 
     m0 = sink.manifest(from_version)
     m1 = sink.manifest(to_version)
-    if m0.n_buckets != m1.n_buckets:  # pragma: no cover - n_buckets is fixed at create
+    if m0.n_buckets != m1.n_buckets:
+        # a rebucket() between the snapshots invalidates bucket-id pruning;
+        # diff the full states with diff_states() directly in that case
         raise ValueError("change_feed across re-bucketed snapshots is not supported")
     changed = sorted(
         int(b)

@@ -173,6 +173,8 @@ class HadoopParquetSink:
                         if "vacuum_below" in m.metrics
                         else "compact"
                         if "compacted_buckets" in m.metrics
+                        else "rebucket"
+                        if "rebucket_to" in m.metrics
                         else "evolve"
                         if "evolution" in m.metrics
                         else "merge"
@@ -640,7 +642,69 @@ class HadoopParquetSink:
         )
         return {"vacuumed_buckets": len(affected)}
 
+    def load_at_epoch(self, epoch: int) -> DataFrame:
+        """State as of a committed epoch — the epoch-keyed face of time
+        travel.  Resolves to the NEWEST retained manifest version whose
+        ``last_committed_epoch`` equals ``epoch`` (later maintenance
+        snapshots of the same epoch are logically identical and read
+        faster post-compaction)."""
+        match = [
+            s["version"] for s in self.snapshots() if s["last_committed_epoch"] == epoch
+        ]
+        if not match:
+            raise ValueError(
+                f"epoch {epoch} has no retained snapshot at {self.table_path}"
+            )
+        return self.load(version=match[-1])
+
     # -- table maintenance -----------------------------------------------------
+
+    def rebucket(self, new_n_buckets: int) -> dict:
+        """Re-partition the table onto a different bucket count (the
+        explicit re-bucketing a growing table eventually needs: buckets
+        sized for 1 TB are hot spots at 100 TB).  A deliberate full-table
+        rewrite — ONE shuffle on the new bucket key, one write — after
+        which every merge/load/change_feed picks the new count up from the
+        manifest; ``last_committed_epoch`` is unchanged so the replay
+        resumes exactly where it was.  Tombstones ride along (they are
+        state).  The old snapshot remains time-travel-readable until
+        ``expire_snapshots``."""
+        m = self.manifest()
+        if new_n_buckets == m.n_buckets:
+            return {"rebucketed": False, "n_buckets": m.n_buckets}
+        new_version = m.version + 1
+        full = self.load(include_tombstones=True).drop(BUCKET_COLUMN)
+        out = full.withColumn(BUCKET_COLUMN, bucket_of(new_n_buckets))
+        data_rel = os.path.join("data", f"v{new_version:08d}")
+        data_dir = os.path.join(self.table_path, data_rel)
+        (
+            out.repartition(new_n_buckets, BUCKET_COLUMN)
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COLUMN)
+            .parquet(data_dir)
+        )
+        buckets = {
+            name.split("=", 1)[1]: {
+                "path": os.path.join(data_rel, name),
+                "schema_version": new_version,
+            }
+            for name in os.listdir(data_dir)
+            if name.startswith(f"{BUCKET_COLUMN}=")
+        }
+        mf.publish(
+            self.table_path,
+            mf.Manifest(
+                version=new_version,
+                last_committed_epoch=m.last_committed_epoch,
+                schema=m.schema,
+                buckets=buckets,
+                n_buckets=new_n_buckets,
+                metrics={"rebucket_from": m.n_buckets, "rebucket_to": new_n_buckets},
+                parent_version=m.version,
+            ),
+        )
+        self.n_buckets = new_n_buckets
+        return {"rebucketed": True, "n_buckets": new_n_buckets}
 
     def compact(self, target_files_per_bucket: int = 1, min_files: int = 2) -> dict:
         """Small-file compaction (the Iceberg ``rewrite_data_files`` analog).

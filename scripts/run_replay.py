@@ -42,6 +42,11 @@ def main() -> None:
     ap.add_argument("--streaming", action="store_true", help="Structured Streaming variant")
     ap.add_argument("--checkpoint", help="streaming checkpoint dir (required with --streaming)")
     ap.add_argument("--vacuum-below", type=int, help="GC tombstones below this ordinal, then exit")
+    ap.add_argument("--compact", action="store_true", help="compact over-filed buckets, then exit")
+    ap.add_argument("--expire-snapshots", type=int, metavar="KEEP",
+                    help="expire all but the newest KEEP snapshots, then exit")
+    ap.add_argument("--rebucket", type=int, metavar="N",
+                    help="re-partition the table onto N hash buckets, then exit")
     ap.add_argument("--generate", type=int, default=0, help="generate N synthetic events first (testing)")
     ap.add_argument("--default-year", type=int, default=2026)
     args = ap.parse_args()
@@ -69,9 +74,24 @@ def main() -> None:
         ),
     )
 
-    if args.vacuum_below is not None:
+    maintenance = (
+        args.vacuum_below is not None
+        or args.compact
+        or args.expire_snapshots is not None
+        or args.rebucket is not None
+    )
+    if maintenance:
         sink = HadoopParquetSink(spark, args.table, n_buckets=args.n_buckets)
-        print(json.dumps(sink.vacuum(args.vacuum_below)))
+        out = {}
+        if args.vacuum_below is not None:
+            out["vacuum"] = sink.vacuum(args.vacuum_below)
+        if args.compact:
+            out["compact"] = sink.compact()
+        if args.rebucket is not None:
+            out["rebucket"] = sink.rebucket(args.rebucket)
+        if args.expire_snapshots is not None:
+            out["expire_snapshots"] = sink.expire_snapshots(args.expire_snapshots)
+        print(json.dumps(out))
         return
 
     if args.streaming:

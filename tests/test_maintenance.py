@@ -211,6 +211,46 @@ def test_expire_keeps_schema_version_manifests(spark, tmp_path):
     assert_state_equal(_state(sink), oracle_reduce(pdf))
 
 
+# -- epoch-keyed time travel + rebucketing ---------------------------------------
+
+
+def test_load_at_epoch(spark, tmp_path):
+    log = _mixed_log(spark)
+    pdf = log.toPandas()
+    sink = replay_dataframe(spark, log, str(tmp_path / "t"))
+    for epoch in sorted(pdf["epoch"].unique()):
+        got = sink.load_at_epoch(int(epoch)).select(*PAYLOAD).toPandas()
+        assert_state_equal(got, oracle_reduce(pdf[pdf["epoch"] <= epoch]))
+    with pytest.raises(ValueError):
+        sink.load_at_epoch(99)
+
+
+def test_rebucket_mid_replay(spark, tmp_path):
+    """Re-partition the table onto a different bucket count between epochs;
+    the replay resumes on the new layout and converges identically."""
+    log = _mixed_log(spark, n=2000, epochs=3, seed=47)
+    pdf = log.toPandas()
+    sink = replay_dataframe(
+        spark, log.where(F.col("epoch") <= 1), str(tmp_path / "t")
+    )
+    assert sink.manifest().n_buckets == 64
+    res = sink.rebucket(16)
+    assert res == {"rebucketed": True, "n_buckets": 16}
+    assert sink.last_committed_epoch() == 1  # resume point untouched
+    # intermediate state intact on the new layout
+    assert_state_equal(_state(sink), oracle_reduce(pdf[pdf["epoch"] <= 1]))
+    sink2 = replay_dataframe(spark, log, str(tmp_path / "t"))
+    assert sink2.manifest().n_buckets == 16
+    assert_state_equal(_state(sink2), oracle_reduce(pdf))
+    assert [s["operation"] for s in sink2.snapshots()].count("rebucket") == 1
+    # bucket-pruned feeds across the rebucket boundary are refused, not wrong
+    rebucket_version = next(
+        s["version"] for s in sink2.snapshots() if s["operation"] == "rebucket"
+    )
+    with pytest.raises(ValueError):
+        change_feed(sink2, rebucket_version - 1)
+
+
 # -- Debezium envelope ingestion -------------------------------------------------
 
 
