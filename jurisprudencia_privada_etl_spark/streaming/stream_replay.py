@@ -36,23 +36,33 @@ def stream_replay(
     cfg: ReplayConfig | None = None,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    source_df=None,
 ):
     """Start (and with ``available_now`` run to completion) a streaming
-    replay.  Returns the StreamingQuery."""
+    replay.  Returns the StreamingQuery.
+
+    ``source_df`` swaps the default parquet-directory tail for any other
+    streaming DataFrame with CHANGELOG_SCHEMA columns — e.g. a Kafka topic
+    of Debezium envelopes normalized by ``sources.debezium.parse_debezium``
+    (a pure column transform, so it composes with readStream unchanged);
+    ``changelog_path`` is ignored in that case."""
     cfg = cfg or ReplayConfig()
     sink = HadoopParquetSink(spark, table_path, n_buckets=cfg.n_buckets,
                              merge_strategy=cfg.merge_strategy)
     if not sink.exists():
         sink.create(TableSchema.from_struct(TARGET_SCHEMA))
 
-    reader = (
-        spark.readStream.schema(CHANGELOG_SCHEMA)
-        .option("pathGlobFilter", "*.parquet")
-        .option("recursiveFileLookup", "true")
-    )
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(changelog_path)
+    if source_df is not None:
+        stream = source_df
+    else:
+        reader = (
+            spark.readStream.schema(CHANGELOG_SCHEMA)
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
+        )
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        stream = reader.parquet(changelog_path)
 
     def apply_batch(batch_df, batch_id: int) -> None:
         if sink.last_committed_epoch() >= batch_id:

@@ -38,3 +38,59 @@ def test_stream_replay_matches_oracle(spark, tmp_path):
     stream_replay(spark, clog, table, ckpt, ReplayConfig())
     again = HadoopParquetSink(spark, table).load().select(*PAYLOAD).toPandas()
     assert_state_equal(again, oracle_reduce(pdf))
+
+
+def test_streaming_debezium_tail_replays(spark, tmp_path):
+    """A streaming tail of Debezium envelope JSON (text files standing in
+    for a Kafka topic) drives the SAME micro-batch merge path via the
+    stream_replay source seam: parse_debezium is a pure column transform,
+    so it composes with readStream unchanged and the converged state
+    matches the independent reducer."""
+    import json as _json
+
+    from jurisprudencia_privada_etl_spark.sources.debezium import parse_debezium
+
+    log = synthetic_changelog(spark, 600, seed=53, n_epochs=2, n_repos=5,
+                              paths_per_repo=40, pct_update=0.4, pct_delete=0.15)
+    pdf = log.toPandas()
+    feed_dir = tmp_path / "feed"
+    feed_dir.mkdir()
+    lines = [
+        _json.dumps(
+            {
+                "payload": {
+                    "before": None if r.op != "D" else {
+                        "repo": r.repo, "path": r.path, "commit": r.commit,
+                        "lang": r.lang, "content": r.content,
+                    },
+                    "after": None if r.op == "D" else {
+                        "repo": r.repo, "path": r.path, "commit": r.commit,
+                        "lang": r.lang, "content": r.content,
+                    },
+                    "source": {"ts_ms": None, "lsn": int(r.ordinal),
+                               "db": "app", "table": "repos"},
+                    "op": {"I": "c", "U": "u", "D": "d"}[r.op],
+                    "ts_ms": None,
+                }
+            }
+        )
+        for r in pdf.itertuples()
+    ]
+    # two files → at least two micro-batches with maxFilesPerTrigger=1
+    half = len(lines) // 2
+    (feed_dir / "a.jsonl").write_text("\n".join(lines[:half]) + "\n")
+    (feed_dir / "b.jsonl").write_text("\n".join(lines[half:]) + "\n")
+
+    raw = (
+        spark.readStream.schema("value string")
+        .option("maxFilesPerTrigger", 1)
+        .text(str(feed_dir))
+    )
+    table = str(tmp_path / "t")
+    stream_replay(
+        spark, "", table, str(tmp_path / "ckpt"),
+        ReplayConfig(), source_df=parse_debezium(raw, events_per_epoch=10_000),
+    )
+    got = HadoopParquetSink(spark, table).load().select(*PAYLOAD).toPandas()
+    assert_state_equal(got, oracle_reduce(pdf))
+    assert len(stream_metrics(spark, table)) >= 2
