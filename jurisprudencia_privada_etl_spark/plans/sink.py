@@ -935,8 +935,53 @@ class IcebergSink:
         )
         return {"vacuum_below": retain_after_ordinal}
 
-    def load(self) -> DataFrame:
-        return self.spark.table(self.table).where(~F.coalesce(F.col("deleted"), F.lit(False)))
+    # -- table maintenance (parity with HadoopParquetSink; Iceberg ships
+    # these as stored procedures, so each is one CALL) ------------------------
+
+    def _catalog(self) -> str:
+        """Catalog prefix for system procedures: the identifier's first part
+        when fully qualified, else Spark's default ``spark_catalog``."""
+        parts = self.table.split(".")
+        return parts[0] if len(parts) >= 3 else "spark_catalog"
+
+    def compact(self, target_file_size_bytes: int | None = None) -> dict:
+        """Small-file compaction — Iceberg's ``rewrite_data_files``."""
+        opts = f"table => '{self.table}'"
+        if target_file_size_bytes:
+            opts += (
+                ", options => map('target-file-size-bytes', "
+                f"'{target_file_size_bytes}')"
+            )
+        self.spark.sql(f"CALL {self._catalog()}.system.rewrite_data_files({opts})")
+        return {"compacted": True}
+
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Snapshot/file GC — Iceberg's ``expire_snapshots`` procedure (the
+        procedure also prunes orphaned manifests, matching the parquet
+        sink's per-bucket-dir GC semantics)."""
+        self.spark.sql(
+            f"CALL {self._catalog()}.system.expire_snapshots("
+            f"table => '{self.table}', retain_last => {max(1, keep_last)})"
+        )
+        return {"expired": True, "retain_last": max(1, keep_last)}
+
+    def snapshots(self) -> list[dict]:
+        """Snapshot history from the ``.snapshots`` metadata table."""
+        rows = self.spark.sql(
+            f"SELECT snapshot_id, committed_at, operation, summary "
+            f"FROM {self.table}.snapshots ORDER BY committed_at"
+        ).collect()
+        return [dict(r) if not isinstance(r, dict) else r for r in rows]
+
+    def load(self, version: int | None = None) -> DataFrame:
+        """Current state, or time travel via ``VERSION AS OF`` (Iceberg
+        snapshot id / branch/tag name — the parquet sink's manifest-version
+        read, natively)."""
+        if version is not None:
+            df = self.spark.sql(f"SELECT * FROM {self.table} VERSION AS OF {version}")
+        else:
+            df = self.spark.table(self.table)
+        return df.where(~F.coalesce(F.col("deleted"), F.lit(False)))
 
 
 def open_sink(spark: SparkSession, location: str, n_buckets: int = 64):

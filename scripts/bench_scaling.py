@@ -166,27 +166,57 @@ def run_level(cpus: int, reps: int, wd: str, first_round: bool) -> dict:
     raise RuntimeError(f"no RESULT from cpus={cpus}: {out.stdout[-2000:]}\n{out.stderr[-2000:]}")
 
 
+ROUNDS_JSON = os.path.join(REPO, "BENCH", "scaling_rounds.json")
+
+
 def main():
     n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 32_000_000
     rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    append = "--append" in sys.argv
     wd = tempfile.mkdtemp(prefix="bench_scaling_")
 
     gen = RUNNER_GEN.format(repo=REPO, n_events=n_events, wd=wd)
     subprocess.run([sys.executable, "-c", gen], check=True)
 
+    # accumulate rounds across invocations (same input is regenerated
+    # deterministically, so rounds from separate runs are comparable)
     pair_rounds = []
+    if append and os.path.exists(ROUNDS_JSON):
+        with open(ROUNDS_JSON) as f:
+            prev = json.load(f)
+        if prev.get("n_events") == n_events:
+            pair_rounds = [
+                {int(k): v for k, v in pair.items()} for pair in prev["pair_rounds"]
+            ]
     for rd in range(rounds):
         pair = {}
         for cpus in (8, 32):
-            pair[cpus] = run_level(cpus, reps, wd, first_round=rd == 0)
-            print(f"round {rd} level {cpus}: {pair[cpus]}", flush=True)
+            pair[cpus] = run_level(cpus, reps, wd, first_round=rd == 0 and not pair_rounds)
+            print(f"round {len(pair_rounds)} level {cpus}: {pair[cpus]}", flush=True)
         pair_rounds.append(pair)
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(ROUNDS_JSON, "w") as f:
+        json.dump({"n_events": n_events, "pair_rounds": pair_rounds}, f, indent=1)
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # carry forward hand-written / appended sections (the calibration-bracket
+    # note and the replica-ceiling experiment) across re-renders
+    tail = ""
+    if os.path.exists(md):
+        with open(md) as f:
+            old = f.read()
+        for marker in ("## Which rounds to trust", "## Workload-specific hardware ceiling"):
+            i = old.find(marker)
+            if i >= 0 and marker not in tail:
+                tail += "\n" + old[i:].split("## Raw data")[0].rstrip() + "\n"
+                break
+        j = old.find("## Workload-specific hardware ceiling")
+        if j >= 0 and "Workload-specific" not in tail:
+            tail += "\n" + old[j:].rstrip() + "\n"
     with open(md, "w") as f:
-        f.write(_render(n_events, rounds, reps, pair_rounds))
+        f.write(_render(n_events, len(pair_rounds), reps, pair_rounds))
+        f.write(tail)
     print(f"wrote {md}")
     shutil.rmtree(wd, ignore_errors=True)
 

@@ -180,3 +180,49 @@ def test_constructor_requires_extension():
 
     with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
         IcebergSink(NoJvm(), "lake.docs")
+
+
+def test_compact_calls_rewrite_data_files_procedure():
+    spark = FakeSpark()
+    out = _sink(spark).compact()
+    assert out == {"compacted": True}
+    assert spark.statements == [
+        "CALL spark_catalog.system.rewrite_data_files(table => 'lake.docs')"
+    ]
+    spark2 = FakeSpark()
+    _sink(spark2).compact(target_file_size_bytes=512 * 1024 * 1024)
+    assert "map('target-file-size-bytes', '536870912')" in spark2.statements[0]
+
+
+def test_compact_uses_explicit_catalog_when_qualified():
+    spark = FakeSpark()
+    IcebergSink(spark, "prod.lake.docs").compact()
+    assert spark.statements[0].startswith("CALL prod.system.rewrite_data_files")
+
+
+def test_expire_snapshots_calls_procedure_with_retention():
+    spark = FakeSpark()
+    out = _sink(spark).expire_snapshots(keep_last=3)
+    assert out == {"expired": True, "retain_last": 3}
+    assert spark.statements == [
+        "CALL spark_catalog.system.expire_snapshots(table => 'lake.docs', retain_last => 3)"
+    ]
+    # retention floor: never expire everything
+    spark2 = FakeSpark()
+    _sink(spark2).expire_snapshots(keep_last=0)
+    assert "retain_last => 1" in spark2.statements[0]
+
+
+def test_load_version_as_of_time_travel():
+    spark = FakeSpark()
+    df = _sink(spark).load(version=123456789)
+    assert spark.statements == ["SELECT * FROM lake.docs VERSION AS OF 123456789"]
+    # soft-delete rows are filtered on every read path, time travel included
+    assert df.filters
+
+
+def test_snapshots_reads_metadata_table():
+    spark = FakeSpark(snapshots=[{"snapshot_id": 1, "operation": "append"}])
+    out = _sink(spark).snapshots()
+    assert out == [{"snapshot_id": 1, "operation": "append"}]
+    assert "FROM lake.docs.snapshots ORDER BY committed_at" in spark.statements[0]
