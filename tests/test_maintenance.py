@@ -211,6 +211,38 @@ def test_expire_keeps_schema_version_manifests(spark, tmp_path):
     assert_state_equal(_state(sink), oracle_reduce(pdf))
 
 
+def test_change_feed_scans_only_changed_buckets(spark, tmp_path):
+    """The scale property itself: the feed's scan set is the CHANGED buckets'
+    files at the two versions, never the whole table (inputFiles is the
+    physical file list the plan will read)."""
+    log = _mixed_log(spark)
+    sink = replay_dataframe(spark, log, str(tmp_path / "t"))
+    merges = {
+        s["last_committed_epoch"]: s["version"]
+        for s in sink.snapshots()
+        if s["operation"] == "merge"
+    }
+    second_last = sorted(merges.values())[-2]
+    m0, m1 = sink.manifest(second_last), sink.manifest()
+    changed = {
+        b for b in set(m0.buckets) | set(m1.buckets)
+        if m0.buckets.get(b) != m1.buckets.get(b)
+    }
+    assert changed and len(changed) < len(m1.buckets)  # pruning is non-trivial here
+    allowed = {
+        os.path.join(sink.table_path, m.buckets[b]["path"])
+        for m in (m0, m1)
+        for b in changed
+        if b in m.buckets
+    }
+    feed = change_feed(sink, second_last)
+    scanned_dirs = {os.path.dirname(f.split("://", 1)[-1]) for f in feed.inputFiles()}
+    assert scanned_dirs <= allowed
+    untouched = set(m1.buckets) - changed
+    for b in list(untouched)[:5]:
+        assert os.path.join(sink.table_path, m1.buckets[b]["path"]) not in scanned_dirs
+
+
 # -- epoch-keyed time travel + rebucketing ---------------------------------------
 
 
