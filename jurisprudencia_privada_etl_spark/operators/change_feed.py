@@ -77,6 +77,58 @@ def _ddl(df: DataFrame, cols: list[str]) -> str:
     return ",".join(f"`{c}`:{df.schema[c].dataType.simpleString()}" for c in cols)
 
 
+def feed_as_changelog(feed: DataFrame, epoch: int, keys: list[str] | None = None) -> DataFrame:
+    """Convert a change feed into replayable changelog rows — the producer
+    half of table replication.  insert/update_postimage become I/U rows
+    carrying the row image, delete becomes a D tombstone; update_preimage
+    rows are dropped (the postimage is the event).  The emitted rows keep
+    their source ``ordinal``, so the consumer's LWW/merge applies them with
+    the SAME idempotence and out-of-order guarantees as any other source —
+    replaying a feed twice, or applying feeds out of order, converges."""
+    from jurisprudencia_privada_etl_spark.plans.sink import BOOKKEEPING
+
+    keys = keys or KEY_COLUMNS
+    op = (
+        F.when(F.col(CHANGE_TYPE_COLUMN) == "insert", F.lit("I"))
+        .when(F.col(CHANGE_TYPE_COLUMN) == "update_postimage", F.lit("U"))
+        .when(F.col(CHANGE_TYPE_COLUMN) == "delete", F.lit("D"))
+    )
+    # logical payload only: the consumer's own extraction stage re-derives
+    # the engine bookkeeping (content_sha etc.) — shipping it would collide
+    drop = {CHANGE_TYPE_COLUMN, "_from_version", "_to_version", "ordinal",
+            *keys, *[n for n, _ in BOOKKEEPING]}
+    cols = [c for c in feed.columns if c not in drop]
+    return (
+        feed.where(F.col(CHANGE_TYPE_COLUMN) != "update_preimage")
+        .select(
+            F.lit(epoch).cast("long").alias("epoch"),
+            F.col("ordinal").cast("long").alias("ordinal"),
+            op.alias("op"),
+            *keys,
+            *cols,
+        )
+    )
+
+
+def snapshot_as_changelog(sink, epoch: int = 0, version: int | None = None) -> DataFrame:
+    """Bootstrap a replica: the full snapshot as insert events (Debezium's
+    snapshot-read 'r' phase).  Ordinals are the source rows' own, so
+    incremental feeds emitted later (with higher ordinals) apply cleanly on
+    top of the bootstrap."""
+    from jurisprudencia_privada_etl_spark.plans.sink import BOOKKEEPING, BUCKET_COLUMN
+
+    snap = sink.load(version=version).drop(BUCKET_COLUMN)
+    drop = {*KEY_COLUMNS, "ordinal", *[n for n, _ in BOOKKEEPING]}
+    cols = [c for c in snap.columns if c not in drop]
+    return snap.select(
+        F.lit(epoch).cast("long").alias("epoch"),
+        F.col("ordinal").cast("long").alias("ordinal"),
+        F.lit("I").alias("op"),
+        *KEY_COLUMNS,
+        *cols,
+    )
+
+
 def change_feed(sink, from_version: int, to_version: int | None = None) -> DataFrame:
     """Delta between two committed snapshots of a ``HadoopParquetSink``.
 
@@ -98,10 +150,53 @@ def change_feed(sink, from_version: int, to_version: int | None = None) -> DataF
         for b in set(m0.buckets) | set(m1.buckets)
         if m0.buckets.get(b) != m1.buckets.get(b)
     )
+    keys = KEY_COLUMNS
     old = sink.load(buckets=changed, version=from_version).drop(BUCKET_COLUMN)
-    new = sink.load(buckets=changed, version=m1.version).drop(BUCKET_COLUMN)
+    # the NEW side reads tombstones too: a delete event must ride out with
+    # the TOMBSTONE's ordinal — the old image's ordinal would lose the
+    # `s.ordinal > t.ordinal` merge guard on a downstream replica and the
+    # delete would silently no-op there (feed_as_changelog replication).
+    new = sink.load(
+        buckets=changed, version=m1.version, include_tombstones=True
+    ).drop(BUCKET_COLUMN)
+    pay = [c for c in new.columns if c not in keys and c != "deleted"]
+    o = old
+    for c in pay:
+        if c not in o.columns:
+            o = o.withColumn(c, F.lit(None).cast(new.schema[c].dataType))
+    o = o.select(*keys, F.struct(*pay).alias("_o"))
+    n = new.select(
+        *keys,
+        F.struct(*pay).alias("_n"),
+        F.coalesce(F.col("deleted"), F.lit(False)).alias("_del"),
+    )
+    j = o.join(n, on=keys, how="full_outer")
+    live_n = F.col("_n").isNotNull() & ~F.coalesce(F.col("_del"), F.lit(False))
+    gone_n = F.col("_n").isNull() | F.coalesce(F.col("_del"), F.lit(False))
+
+    def tagged(tag: str, img: F.Column) -> F.Column:
+        return F.struct(F.lit(tag).alias("t"), img.alias("img"))
+
+    changes = (
+        F.when(F.col("_o").isNull() & live_n, F.array(tagged("insert", F.col("_n"))))
+        .when(
+            F.col("_o").isNotNull() & gone_n,
+            # tombstone image when retained (correct ordinal); old image only
+            # when the tombstone was already vacuumed between the versions
+            F.array(tagged("delete", F.coalesce(F.col("_n"), F.col("_o")))),
+        )
+        .when(
+            F.col("_o").isNotNull() & live_n & ~F.col("_o").eqNullSafe(F.col("_n")),
+            F.array(
+                tagged("update_preimage", F.col("_o")),
+                tagged("update_postimage", F.col("_n")),
+            ),
+        )
+        .otherwise(F.array().cast(f"array<struct<t:string,img:struct<{_ddl(new, pay)}>>>"))
+    )
     return (
-        diff_states(old, new, KEY_COLUMNS)
+        j.select(*keys, F.explode(changes).alias("_c"))
+        .select(*keys, "_c.img.*", F.col("_c.t").alias(CHANGE_TYPE_COLUMN))
         .withColumn("_from_version", F.lit(from_version))
         .withColumn("_to_version", F.lit(m1.version))
     )

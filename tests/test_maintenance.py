@@ -283,6 +283,71 @@ def test_rebucket_mid_replay(spark, tmp_path):
         change_feed(sink2, rebucket_version - 1)
 
 
+# -- CDC replication (snapshot bootstrap + incremental feed apply) ---------------
+
+
+def test_replication_via_snapshot_and_feed(spark, tmp_path):
+    """Full replica lifecycle: bootstrap a second table from a snapshot of
+    the source, then apply the source's subsequent change feed as a
+    changelog — the replica converges to the source's exact live state,
+    including deletes (whose feed rows must carry the TOMBSTONE ordinal to
+    win the replica's merge guard)."""
+    from jurisprudencia_privada_etl_spark.operators.change_feed import (
+        feed_as_changelog,
+        snapshot_as_changelog,
+    )
+
+    log = _mixed_log(spark, n=2500, epochs=3, seed=61)
+    src = replay_dataframe(spark, log, str(tmp_path / "src"))
+    merges = {
+        s["last_committed_epoch"]: s["version"]
+        for s in src.snapshots()
+        if s["operation"] == "merge"
+    }
+    v_boot = merges[1]  # replicate as of epoch 1, then catch up
+
+    boot = snapshot_as_changelog(src, epoch=0, version=v_boot)
+    replica = replay_dataframe(spark, boot, str(tmp_path / "dst"))
+    assert_state_equal(_state(replica), _state(src, version=v_boot))
+
+    feed = change_feed(src, v_boot)
+    inc = feed_as_changelog(feed, epoch=1)
+    assert set(inc.columns) == {"epoch", "ordinal", "op", "repo", "path",
+                                "commit", "lang", "content"}
+    replica = replay_dataframe(spark, inc, str(tmp_path / "dst"))
+    assert_state_equal(_state(replica), _state(src))
+
+    # idempotence: re-applying the same feed epoch is a no-op
+    replica = replay_dataframe(spark, inc, str(tmp_path / "dst"))
+    assert_state_equal(_state(replica), _state(src))
+
+
+def test_feed_deletes_carry_tombstone_ordinal(spark, tmp_path):
+    """The delete rows' ordinal is the tombstone's (higher than the deleted
+    row's), not the dead row's — the property replication correctness
+    rests on."""
+    log = _mixed_log(spark)
+    pdf = log.toPandas()
+    sink = replay_dataframe(spark, log, str(tmp_path / "t"))
+    merges = {
+        s["last_committed_epoch"]: s["version"]
+        for s in sink.snapshots()
+        if s["operation"] == "merge"
+    }
+    feed = change_feed(sink, merges[0]).where(F.col("_change_type") == "delete")
+    dels = feed.select("repo", "path", "ordinal").toPandas()
+    if len(dels):
+        s0 = oracle_reduce(pdf[pdf["epoch"] <= 0]).set_index(["repo", "path"])
+        later = pdf[pdf["epoch"] > 0]
+        for r in dels.itertuples():
+            old_ordinal = int(s0.loc[(r.repo, r.path), "ordinal"])
+            assert r.ordinal > old_ordinal
+            # and it is a REAL tombstone event's ordinal from the changelog
+            ev = later[(later["repo"] == r.repo) & (later["path"] == r.path)
+                       & (later["ordinal"] == r.ordinal)]
+            assert len(ev) == 1 and ev.iloc[0]["op"] == "D"
+
+
 # -- Debezium envelope ingestion -------------------------------------------------
 
 
