@@ -5,9 +5,10 @@
               returning the converged table.
 ``queries`` — one entry per implemented operator (SURVEY.md §2); see
               jurisprudencia_privada_etl_spark/queries.py.
-``oracle_sql`` — DuckDB-equivalent SQL per query (omitted for ops whose
-              semantics depend on engine-internal hash functions; those get
-              rows-only checks plus dedicated pytest coverage).
+``oracle_sql`` — DuckDB-equivalent SQL per query; every queries() entry is
+              paired (44/44 — hash-dependent operators are restructured to
+              engine-independent expected results or replicate the index
+              from shared literals; see queries.py section comments).
 """
 
 from __future__ import annotations
