@@ -129,27 +129,69 @@ def snapshot_as_changelog(sink, epoch: int = 0, version: int | None = None) -> D
     )
 
 
-def change_feed(sink, from_version: int, to_version: int | None = None) -> DataFrame:
+def change_feed(
+    sink, from_version: int, to_version: int | None = None, on_vacuum: str = "error"
+) -> DataFrame:
     """Delta between two committed snapshots of a ``HadoopParquetSink``.
 
     Bucket-pruned: the two manifests are compared driver-side (pure
     metadata) and only buckets whose file entries differ are scanned at
     either version.  Maintenance-only versions (compaction rewrote files,
     rows unchanged) scan the rewritten buckets and correctly emit nothing.
+
+    A ``rebucket()`` between the snapshots makes bucket ids incomparable;
+    the feed then automatically falls back to an UNPRUNED diff of the two
+    full snapshots (same rows, O(table) scan instead of O(changed)) — a
+    warning is logged about the lost pruning.
+
+    Hard contract on vacuum (the replication-divergence guard): a
+    ``vacuum()`` between the two versions may have GC'd tombstones inside
+    the feed window, and a delete whose tombstone is gone can only ride out
+    with the OLD image's ordinal — which LOSES the strict
+    ``s.ordinal > t.ordinal`` merge guard on a downstream replica, silently
+    keeping the deleted row there forever.  Feeds must therefore be emitted
+    before vacuum's horizon passes the feed window; when a vacuum snapshot
+    is detected in (from_version, to_version] this raises, telling the
+    consumer to re-bootstrap via ``snapshot_as_changelog``.
+    ``on_vacuum="allow"`` emits the feed anyway (fine for non-replication
+    consumers that only read the feed as an audit log).
     """
+    import logging
+
     from jurisprudencia_privada_etl_spark.plans.sink import BUCKET_COLUMN
 
     m0 = sink.manifest(from_version)
     m1 = sink.manifest(to_version)
+    vacuums = [
+        s["version"]
+        for s in sink.snapshots()
+        if m0.version < s["version"] <= m1.version and "vacuum_below" in s["metrics"]
+    ]
+    if vacuums and on_vacuum != "allow":
+        raise ValueError(
+            f"vacuum snapshot(s) {vacuums} lie between versions {m0.version} and "
+            f"{m1.version}: GC'd tombstones cannot carry their delete ordinal, so "
+            "a replica applying this feed could diverge.  Emit feeds before "
+            "vacuuming past their window, re-bootstrap the replica with "
+            "snapshot_as_changelog(), or pass on_vacuum='allow' for "
+            "non-replication (audit) consumption."
+        )
     if m0.n_buckets != m1.n_buckets:
-        # a rebucket() between the snapshots invalidates bucket-id pruning;
-        # diff the full states with diff_states() directly in that case
-        raise ValueError("change_feed across re-bucketed snapshots is not supported")
-    changed = sorted(
-        int(b)
-        for b in set(m0.buckets) | set(m1.buckets)
-        if m0.buckets.get(b) != m1.buckets.get(b)
-    )
+        # rebucket between the snapshots: bucket ids aren't comparable, so
+        # prune nothing and diff the two full snapshots instead
+        logging.getLogger(__name__).warning(
+            "change_feed: versions %s and %s have different bucket counts "
+            "(%d vs %d; rebucket in between) — falling back to an unpruned "
+            "full-snapshot diff",
+            m0.version, m1.version, m0.n_buckets, m1.n_buckets,
+        )
+        changed = None
+    else:
+        changed = sorted(
+            int(b)
+            for b in set(m0.buckets) | set(m1.buckets)
+            if m0.buckets.get(b) != m1.buckets.get(b)
+        )
     keys = KEY_COLUMNS
     old = sink.load(buckets=changed, version=from_version).drop(BUCKET_COLUMN)
     # the NEW side reads tombstones too: a delete event must ride out with

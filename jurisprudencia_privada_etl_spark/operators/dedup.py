@@ -96,10 +96,17 @@ def minhash_signature_pandas(
 
     Spark higher-order functions are interpreted, not codegen'd, so the
     expression form above costs ~num_hashes interpreted passes per row.
-    Here one pandas UDF computes the whole signature: blake2b (deterministic,
-    unlike Python hash()) gives a 64-bit base hash per shingle, and the
-    multiply-add family a_k*h+b_k (mod 2^64, a_k odd) derives the k
-    permutations as one numpy broadcast — ~50× faster at corpus scale.
+    Here one pandas UDF computes the whole signature with NO per-shingle
+    Python work: every token of the Arrow batch is hashed in ONE C pass
+    (``pd.util.hash_array`` — SipHash with pandas' fixed default key, so
+    deterministic across processes/executors), shingle hashes are a
+    vectorized polynomial over ``n`` consecutive token hashes computed
+    batch-wide on the flat token-hash array, and the k multiply-add
+    permutations a_k*h+b_k (mod 2^64, a_k odd) are one numpy broadcast per
+    doc.  A shingle's hash depends only on its n tokens, so equal shingle
+    SETS still yield equal signatures (the property the threshold-1.0
+    lossless prefilter relies on); the hash family itself differs from the
+    JVM ``impl="expr"`` form — pick one impl per table.
     """
     import numpy as np
     from pyspark.sql import types as T
@@ -117,27 +124,44 @@ def minhash_signature_pandas(
         return a, b
 
     A, B = _params(num_hashes)
+    P = np.uint64(0x9E3779B97F4A7C15)  # odd golden-ratio polynomial base
+    EMPTY = np.uint64((seed * 0xD6E8FEB86659FD93 + 1) % (1 << 64))
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def sig(texts: pd.Series) -> pd.Series:
-        import hashlib
-
         old = np.seterr(over="ignore")
-        out = []
-        for t in texts:
-            toks = [w for w in (t or "").lower().split() if w]
-            if len(toks) >= n:
-                sh = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
-            else:
-                sh = {" ".join(toks)}
-            hs = np.fromiter(
-                (
-                    int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
-                    for s in sh
-                ),
-                dtype=np.uint64,
-                count=len(sh),
+        docs = [(t or "").lower().split() for t in texts]
+        counts = np.fromiter((len(d) for d in docs), dtype=np.int64, count=len(docs))
+        flat = [w for d in docs for w in d]
+        th = (
+            pd.util.hash_array(np.asarray(flat, dtype=object), categorize=False).astype(
+                np.uint64
             )
+            if flat
+            else np.empty(0, dtype=np.uint64)
+        )
+        # window the flat token-hash array once for the whole batch; windows
+        # straddling a doc boundary are simply never selected below
+        L = len(th)
+        if L >= n:
+            win = th[: L - n + 1].copy()
+            for j in range(1, n):
+                win = win * P + th[j : L - n + 1 + j]
+        else:
+            win = np.empty(0, dtype=np.uint64)
+        ends = np.cumsum(counts)
+        starts = ends - counts
+        out = []
+        for i in range(len(docs)):
+            m = counts[i]
+            if m >= n:
+                hs = win[starts[i] : ends[i] - n + 1]
+            else:
+                # short doc: ONE shingle over all its tokens (old semantics)
+                acc = EMPTY
+                for v in th[starts[i] : ends[i]]:
+                    acc = acc * P + v
+                hs = np.array([acc], dtype=np.uint64)
             sig_vals = (A[:, None] * hs[None, :] + B[:, None]).min(axis=1)
             out.append(sig_vals.astype(np.int64).tolist())
         np.seterr(**old)
@@ -363,33 +387,28 @@ def simhash_pandas(col: Column | str, seed: int = 42) -> Column:
 
     @pandas_udf(T.LongType())
     def sig(texts: pd.Series) -> pd.Series:
-        import hashlib
-
-        seed_bytes = seed.to_bytes(8, "little", signed=False)
         shifts = np.arange(64, dtype=np.uint64)
-        out = np.empty(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            toks = [w for w in (t or "").lower().split() if w]
-            if not toks:
-                out[i] = 0
-                continue
-            hs = np.fromiter(
-                (
-                    int.from_bytes(
-                        hashlib.blake2b(w.encode(), digest_size=8, key=seed_bytes).digest(),
-                        "little",
-                    )
-                    for w in toks
-                ),
-                dtype=np.uint64,
-                count=len(toks),
-            )
-            bits = (hs[:, None] >> shifts[None, :]) & np.uint64(1)  # (n, 64)
-            votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-            word = np.uint64(0)
-            for b in np.nonzero(votes > 0)[0]:
-                word |= np.uint64(1) << np.uint64(b)
-            out[i] = word.astype(np.int64)
+        pow2 = (np.uint64(1) << shifts).astype(np.uint64)
+        docs = [(t or "").lower().split() for t in texts]
+        counts = np.fromiter((len(d) for d in docs), dtype=np.int64, count=len(docs))
+        flat = [w for d in docs for w in d]
+        out = np.zeros(len(texts), dtype=np.int64)  # empty doc → 0
+        if flat:
+            # ONE C-level hash pass for the whole Arrow batch (SipHash via
+            # pd.util.hash_array, keyed on the seed → deterministic across
+            # executors), then all 64 bit votes for all docs via reduceat.
+            hs = pd.util.hash_array(
+                np.asarray(flat, dtype=object),
+                categorize=False,
+                hash_key=f"{seed & 0xFFFFFFFFFFFFFFFF:016x}",
+            ).astype(np.uint64)
+            bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+            nonempty = np.nonzero(counts > 0)[0]
+            starts = np.cumsum(counts) - counts
+            sums = np.add.reduceat(bits, starts[nonempty], axis=0)  # (k, 64)
+            votes = 2 * sums - counts[nonempty, None]
+            words = ((votes > 0).astype(np.uint64) * pow2[None, :]).sum(axis=1)
+            out[nonempty] = words.astype(np.int64)
         return pd.Series(out)
 
     return sig(F.col(col) if isinstance(col, str) else col)

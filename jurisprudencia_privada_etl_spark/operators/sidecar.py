@@ -89,7 +89,9 @@ def parse_sidecar_pages(pages: list[pd.DataFrame], base_ordinal: int = 0) -> pd.
         header = dedupe_headers([clean_cell(h) or "" for h in page.iloc[0]])
         body = page.iloc[1:].reset_index(drop=True)
         body.columns = header
-        frames.append(body.applymap(clean_cell) if hasattr(body, "applymap") else body.map(clean_cell))
+        # DataFrame.map is the element-wise op from pandas 2.1+; applymap is
+        # its deprecated pre-2.1 name (kept as the fallback for old pandas)
+        frames.append(body.map(clean_cell) if hasattr(body, "map") else body.applymap(clean_cell))
     if not frames:
         return pd.DataFrame()
     out = pd.concat(frames, ignore_index=True)
@@ -101,13 +103,14 @@ def parse_sidecar_pages(pages: list[pd.DataFrame], base_ordinal: int = 0) -> pd.
 #
 # The reference feeds raw PDF bytes to a python child process that returns
 # the per-page cell grids (sharepoint.ts:537-583 → pdf_parser.py:14-54).
-# The container has no PDF library, so the byte seam here is:
-#   * a REAL decoder for a simple page container (form-feed-separated
-#     pages, ASCII record/unit-separator delimited rows/cells — so cells
-#     may carry embedded newlines, which the cleaning then canonicalizes),
-#     exercising the full bytes → grids → clean → dimension flow;
-#   * an explicit NotImplementedError slot where pdfminer/pypdf plugs in
-#     for %PDF payloads (import-tried, so adding the library just works).
+# Two container formats are decoded for real, on the executors:
+#   * %PDF payloads — functions/pdftext.py, a from-scratch stdlib text-layer
+#     extractor (object scan, FlateDecode, BT/ET span interpretation, grid
+#     reconstruction); scanned/encrypted PDFs raise NotImplementedError
+#     (OCR is genuinely out of scope, see pdftext docstring);
+#   * a simple page container (form-feed-separated pages, ASCII record/
+#     unit-separator delimited rows/cells — so cells may carry embedded
+#     newlines, which the cleaning then canonicalizes).
 
 PAGE_SEP, ROW_SEP, CELL_SEP = b"\x0c", b"\x1e", b"\x1f"
 
@@ -131,18 +134,13 @@ def encode_sidecar_pages(pages: list[list[list[str]]]) -> bytes:
 def decode_sidecar_bytes(data: bytes) -> list[pd.DataFrame]:
     """Bytes → raw per-page cell grids (the pdf_parser.py:35-49 shape).
 
-    %PDF payloads route to the optional real parser; without one on the
-    import path this is the documented in-container limit, not a fake."""
+    %PDF payloads decode through the stdlib text-layer extractor
+    (functions/pdftext.py) — end-to-end tested against generated grid PDFs;
+    scanned/encrypted PDFs raise NotImplementedError there."""
     if data[:5] == b"%PDF-":
-        try:
-            import pypdf  # noqa: F401
-        except ImportError as e:
-            raise NotImplementedError(
-                "real PDF table extraction requires pypdf/pdfminer, not in "
-                "this container; sidecar bytes in the form-feed/TSV page "
-                "container are fully decoded"
-            ) from e
-        raise NotImplementedError("PDF table extraction hookup point")
+        from jurisprudencia_privada_etl_spark.functions.pdftext import pdf_to_grids
+
+        return pdf_to_grids(data)
     pages = []
     for page in data.split(PAGE_SEP):
         rows = [r.split(CELL_SEP) for r in page.split(ROW_SEP) if r != b""]

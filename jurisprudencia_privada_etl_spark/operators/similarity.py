@@ -175,6 +175,10 @@ def lsh_topk(
     vectors that land near a hyperplane).  Only the SMALL broadcast query
     side fans out (x sum(C(n_planes, <=m))); the corpus is never duplicated.
     ``n_probe_bits=0`` restores single-bucket probing.
+
+    Pass ``dim=`` at scale: leaving it None launches a tiny ``first()`` job
+    at plan-build time to sniff the vector width — harmless interactively,
+    but a per-call driver round trip a production pipeline should not pay.
     """
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
@@ -260,7 +264,10 @@ def embedding_dedup(
     runs only on candidates, and no all-pairs product ever forms.
     Approximate by construction — a near-dup pair differing in > m sign bits
     is missed; raise n_probe_bits (or lower n_planes) for recall, at
-    candidate-volume cost."""
+    candidate-volume cost.
+
+    Pass ``dim=`` at scale (None sniffs it with a driver-side ``first()``
+    job at plan-build time — see lsh_topk)."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_planes, seed)

@@ -168,6 +168,10 @@ class HadoopParquetSink:
                     "version": m.version,
                     "parent_version": m.parent_version,
                     "last_committed_epoch": m.last_committed_epoch,
+                    # False ⇢ expire_snapshots kept this manifest for its
+                    # column-id mapping only; its data dirs were GC'd, so
+                    # time-travel reads must not resolve here
+                    "readable": not m.metrics.get("schema_only_retained", False),
                     "operation": (
                         "vacuum"
                         if "vacuum_below" in m.metrics
@@ -282,15 +286,29 @@ class HadoopParquetSink:
 
     # -- MERGE (J5/S9/S10, T3/T4/T5) ------------------------------------------
 
-    def key_stats(self, batch: DataFrame) -> tuple[list[int], list[dict[str, Any]]]:
+    def key_stats(
+        self, batch: DataFrame, n_buckets: int | None = None
+    ) -> tuple[list[int], list[dict[str, Any]]]:
         """Touched buckets + per-partition applied-event/byte lineage from a
         RAW (pre-extraction) batch — a cheap column-pruned JVM scan, so the
-        expensive Arrow extraction is never executed twice per epoch."""
+        expensive Arrow extraction is never executed twice per epoch.
+
+        When the batch carries ``_content_bytes`` (stored changelogs do —
+        see sources/changelog.write_changelog) the scan reads only (repo,
+        path, _content_bytes) and never decompresses ``content``; the
+        fallback is ``octet_length(content)``.  ``n_buckets`` can be passed
+        to skip the manifest read (the replay's prefetch thread does, so it
+        never races a concurrent manifest publish)."""
+        if "_content_bytes" in batch.columns:
+            bytes_expr = F.col("_content_bytes")
+        elif "content" in batch.columns:
+            bytes_expr = F.octet_length("content")
+        else:
+            bytes_expr = F.lit(0)
+        nb = n_buckets if n_buckets is not None else self.manifest().n_buckets
         stats = (
-            batch.groupBy(
-                F.spark_partition_id().alias("p"), bucket_of(self.manifest().n_buckets).alias("b")
-            )
-            .agg(F.count("*").alias("n"), F.sum(F.octet_length("content")).alias("bytes"))
+            batch.groupBy(F.spark_partition_id().alias("p"), bucket_of(nb).alias("b"))
+            .agg(F.count("*").alias("n"), F.sum(bytes_expr).alias("bytes"))
             .collect()
         )
         touched = sorted({r["b"] for r in stats})
@@ -649,11 +667,13 @@ class HadoopParquetSink:
         snapshots of the same epoch are logically identical and read
         faster post-compaction)."""
         match = [
-            s["version"] for s in self.snapshots() if s["last_committed_epoch"] == epoch
+            s["version"]
+            for s in self.snapshots()
+            if s["last_committed_epoch"] == epoch and s["readable"]
         ]
         if not match:
             raise ValueError(
-                f"epoch {epoch} has no retained snapshot at {self.table_path}"
+                f"epoch {epoch} has no retained readable snapshot at {self.table_path}"
             )
         return self.load(version=match[-1])
 
@@ -784,7 +804,10 @@ class HadoopParquetSink:
         manifest versions PLUS every older manifest still referenced as a
         ``schema_version`` by a retained bucket entry (those manifests carry
         the column-id mapping ``load`` needs — dropping them would break
-        reads of un-rewritten old buckets).  Deletes, at per-bucket-dir
+        reads of un-rewritten old buckets); the schema-only survivors are
+        tagged ``schema_only_retained`` so ``snapshots()`` reports them
+        unreadable and ``load_at_epoch`` never resolves a read to them
+        (their own data dirs are GC'd).  Deletes, at per-bucket-dir
         granularity, every data directory no retained manifest references,
         then prunes empty ``data/v{N}`` parents and the expired manifest
         files.  Time-travel to an expired version raises FileNotFoundError.
@@ -798,8 +821,11 @@ class HadoopParquetSink:
         versions = sorted(
             int(n[1:9]) for n in os.listdir(mdir) if n.startswith("v") and n.endswith(".json")
         )
-        retained = set(versions[-max(1, keep_last):])
-        # schema_version back-references keep their manifests alive
+        fully_retained = set(versions[-max(1, keep_last):])
+        # schema_version back-references keep their manifests alive — but
+        # JSON only: their data dirs are GC'd below unless a fully-retained
+        # manifest still references the same paths
+        retained = set(fully_retained)
         referenced_paths: set[str] = set()
         for v in list(retained):
             m = mf.load(self.table_path, v)
@@ -807,6 +833,14 @@ class HadoopParquetSink:
                 retained.add(entry["schema_version"])
                 referenced_paths.add(os.path.normpath(entry["path"]))
         expired = [v for v in versions if v not in retained]
+        # tag schema-only retained manifests so snapshots()/load_at_epoch
+        # never resolve a read to a version whose data is gone (the manifest
+        # survives ONLY for its column-id mapping)
+        for v in sorted(retained - fully_retained):
+            m = mf.load(self.table_path, v)
+            if not m.metrics.get("schema_only_retained"):
+                m.metrics["schema_only_retained"] = True
+                mf.publish(self.table_path, m)
 
         # per-bucket-dir GC of unreferenced data
         deleted_dirs = 0
@@ -940,9 +974,17 @@ class IcebergSink:
 
     def _catalog(self) -> str:
         """Catalog prefix for system procedures: the identifier's first part
-        when fully qualified, else Spark's default ``spark_catalog``."""
+        when fully qualified, else the session's configured default catalog
+        (NOT a hard-coded ``spark_catalog`` — sessions that set a named
+        Iceberg catalog as ``spark.sql.defaultCatalog`` resolve 2-part
+        identifiers against it, so its system procedures must be CALLed)."""
         parts = self.table.split(".")
-        return parts[0] if len(parts) >= 3 else "spark_catalog"
+        if len(parts) >= 3:
+            return parts[0]
+        try:
+            return self.spark.conf.get("spark.sql.defaultCatalog", "spark_catalog")
+        except Exception:  # pragma: no cover - conf access never fails in practice
+            return "spark_catalog"
 
     def compact(self, target_file_size_bytes: int | None = None) -> dict:
         """Small-file compaction — Iceberg's ``rewrite_data_files``."""

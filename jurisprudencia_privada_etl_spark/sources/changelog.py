@@ -16,7 +16,18 @@ from pyspark.sql import functions as F
 
 
 def write_changelog(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    """Persist a changelog partitioned by epoch (hive-style directories)."""
+    """Persist a changelog partitioned by epoch (hive-style directories).
+
+    A ``_content_bytes`` column (payload size, computed once at write time)
+    is stored alongside the events: the per-epoch lineage/stats pass
+    (``HadoopParquetSink.key_stats``) then reads THREE small columns instead
+    of decompressing the whole ``content`` column a second time — at
+    10^10 events that pass would otherwise re-scan the entire payload
+    volume once per epoch.  Changelogs from other writers simply lack the
+    column and key_stats falls back to ``octet_length(content)``.
+    """
+    if "content" in df.columns and "_content_bytes" not in df.columns:
+        df = df.withColumn("_content_bytes", F.octet_length("content"))
     df.write.mode(mode).partitionBy("epoch").parquet(path)
 
 

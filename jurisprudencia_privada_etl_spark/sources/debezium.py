@@ -82,8 +82,15 @@ def parse_debezium(
     )
     image = F.when(op_raw == "d", p.getField("before")).otherwise(p.getField("after"))
     ordinal = F.coalesce(p.getField("source").getField("lsn"), p.getField("ts_ms"))
+    # integer arithmetic, NOT long/int → double division: pg_lsn is a full
+    # 64-bit value, and doubles lose integer precision above 2^53, which
+    # would land high-LSN events in the wrong epoch
     epoch_col = (
-        epoch if epoch is not None else F.floor(ordinal / F.lit(events_per_epoch)).cast("long")
+        epoch
+        if epoch is not None
+        else F.floor(
+            ordinal.cast("decimal(38,0)") / F.lit(events_per_epoch)
+        ).cast("long")
     )
     cols = [
         epoch_col.alias("epoch"),

@@ -200,6 +200,30 @@ def test_compact_uses_explicit_catalog_when_qualified():
     assert spark.statements[0].startswith("CALL prod.system.rewrite_data_files")
 
 
+def test_procedures_use_session_default_catalog_for_2part_names():
+    """2-part identifiers resolve against spark.sql.defaultCatalog, so the
+    system procedures must be CALLed on THAT catalog, not a hard-coded
+    spark_catalog (round-3 advice)."""
+
+    class _Conf:
+        def get(self, key, default=None):
+            return {"spark.sql.defaultCatalog": "lake_cat"}.get(key, default)
+
+    spark = FakeSpark()
+    spark.conf = _Conf()
+    _sink(spark).compact()
+    assert spark.statements[0].startswith("CALL lake_cat.system.rewrite_data_files")
+    spark2 = FakeSpark()
+    spark2.conf = _Conf()
+    _sink(spark2).expire_snapshots(keep_last=2)
+    assert spark2.statements[0].startswith("CALL lake_cat.system.expire_snapshots")
+    # fully-qualified names still win over the session default
+    spark3 = FakeSpark()
+    spark3.conf = _Conf()
+    IcebergSink(spark3, "prod.lake.docs").compact()
+    assert spark3.statements[0].startswith("CALL prod.system.rewrite_data_files")
+
+
 def test_expire_snapshots_calls_procedure_with_retention():
     spark = FakeSpark()
     out = _sink(spark).expire_snapshots(keep_last=3)
