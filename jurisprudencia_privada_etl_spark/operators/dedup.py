@@ -198,22 +198,29 @@ def minhash_lsh_candidates(
     mk = minhash_signature_pandas if impl == "pandas" else minhash_signature
     sig = df.select(F.col(id_col), mk(text_col, num_hashes, seed).alias("_sig"))
     keep = [id_col, "_sig"] if with_est else [id_col]
-    banded = sig.select(
-        *keep,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(F.concat_ws(",", *[F.element_at("_sig", b * r + j + 1) for j in range(r)])).alias("bh"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(*keep, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    # band key = xxhash64 of the signature SLICE (Spark's hash functions
+    # accept arrays) via one transform lambda — the per-band unrolled
+    # element_at/concat_ws projection this replaces compiled to a codegen
+    # unit that cost ~1s of driver janino time on first run
+    band_keys = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            F.xxhash64(F.slice("_sig", b * r + 1, r)).alias("bh"),
+        ),
+    )
+    banded = sig.select(*keep, F.explode(band_keys).alias("bk")).select(
+        *keep, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
+    )
+    # shuffle-hash hint, twofold: (1) scale — AQE would happily BROADCAST
+    # the banded corpus as the build side at sandbox sizes, a plan that is
+    # impossible at 100 TB (the build side IS the corpus ×bands); the hint
+    # pins the physical join both sizes agree on.  (2) reuse — with both
+    # sides shuffling on identical (band, bh) exchanges over the identical
+    # subtree, the signature UDF computes ONCE and the second side is a
+    # ReusedExchange; the broadcast plan re-evaluated it per side.
     a = banded.alias("a")
-    b = banded.alias("b")
+    b = banded.hint("shuffle_hash").alias("b")
     joined = a.join(
         b,
         (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
@@ -450,7 +457,10 @@ def simhash_dedup(
             )
         ).alias("bk"),
     ).select(id_col, "_sim", F.col("bk.band").alias("band"), F.col("bk.chunk").alias("chunk"))
-    a, b = banded.alias("a"), banded.alias("b")
+    # shuffle_hash for the same two reasons as minhash_lsh_candidates:
+    # never broadcast a corpus-sized build side, and let both sides share
+    # one exchange so the signature UDF computes once
+    a, b = banded.alias("a"), banded.hint("shuffle_hash").alias("b")
     dup_ids = (
         a.join(
             b,
