@@ -1,16 +1,20 @@
 """Real, dependency-free codecs for the multimodal kernels.
 
-The container has no PIL/ffmpeg/librosa, but two formats are fully
+The container has no PIL/ffmpeg/librosa, but three formats are fully
 decodable with the stdlib + numpy:
 
 * WAV (PCM16) via the stdlib ``wave`` module — real audio decode,
 * BMP (24-bit uncompressed, the classic BITMAPINFOHEADER layout) via a
-  ~40-line header parse — real image decode.
+  ~40-line header parse — real image decode,
+* AVI (RIFF container, uncompressed 24-bit DIB frames — the 'DIB '
+  fourcc) via a RIFF chunk walk — real video decode for the one video
+  container expressible without a compression library.  Compressed video
+  (h264/vp9/mjpeg…) genuinely needs ffmpeg and stays a documented
+  NotImplementedError in strict mode.
 
 These upgrade the multimodal stubs (operators/multimodal.py) to genuine
-decode → feature-extract for the audio and image modalities; video remains
-a stub (no stdlib video codec exists).  Encoders are included so tests can
-generate assets and assert byte-exact round trips.
+decode → feature-extract for all three modalities.  Encoders are included
+so tests can generate assets and assert byte-exact round trips.
 
 Everything here is per-asset Python executed INSIDE Arrow batches
 (mapInPandas) — never row-at-a-time UDFs over the wire.
@@ -107,6 +111,116 @@ def is_bmp(data: bytes) -> bool:
 
 
 # ---------------------------------------------------------------------------
+# AVI (RIFF, uncompressed 24-bit DIB frames)
+# ---------------------------------------------------------------------------
+
+_AVIH = "<14I"  # usec/frame, maxBps, padding, flags, totalFrames, initFrames,
+#                 streams, sugBufSize, width, height, reserved[4]
+_STRH = "<4s4sIHHIIIIIIII4h"  # fccType, handler, flags, prio, lang, initFrames,
+#                               scale, rate, start, length, bufSize, quality,
+#                               sampleSize, rcFrame
+
+
+def _frame_rows(w: int) -> int:
+    return (w * 3 + 3) & ~3  # DIB rows padded to 4 bytes, same as BMP
+
+
+def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+    """uint8 frames [n, h, w, 3] (RGB) → minimal uncompressed AVI bytes."""
+    frames = np.asarray(frames, dtype=np.uint8)
+    n, h, w, _ = frames.shape
+    row = _frame_rows(w)
+    frame_size = row * h
+
+    def chunk(fcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return fcc + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(kind: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", kind + payload)
+
+    avih = chunk(
+        b"avih",
+        struct.pack(_AVIH, 1_000_000 // max(fps, 1), 0, 0, 0, n, 0, 1,
+                    frame_size, w, h, 0, 0, 0, 0),
+    )
+    strh = chunk(
+        b"strh",
+        struct.pack(_STRH, b"vids", b"DIB ", 0, 0, 0, 0, 1, max(fps, 1), 0, n,
+                    frame_size, 0, 0, 0, 0, w, h),
+    )
+    strf = chunk(
+        b"strf", struct.pack(_BMP_INFO_HEADER, 40, w, h, 1, 24, 0, frame_size,
+                             0, 0, 0, 0)
+    )
+    hdrl = lst(b"hdrl", avih + lst(b"strl", strh + strf))
+    movi_frames = []
+    for f in frames:
+        dib = np.zeros((h, row), dtype=np.uint8)
+        dib[:, : w * 3] = f[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+        movi_frames.append(chunk(b"00db", dib.tobytes()))
+    movi = lst(b"movi", b"".join(movi_frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _riff_chunks(buf: bytes, pos: int, end: int):
+    while pos + 8 <= end:
+        fcc = buf[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", buf, pos + 4)
+        yield fcc, pos + 8, size
+        pos += 8 + size + (size & 1)
+
+
+def decode_avi(data: bytes) -> tuple[np.ndarray, float]:
+    """Uncompressed-DIB AVI bytes → (uint8 frames [n, h, w, 3] RGB, fps).
+
+    Walks the RIFF tree: LIST hdrl → avih for dims/rate, LIST movi →
+    '00db'/'00dc' frame payloads decoded like BMP pixel arrays (bottom-up
+    BGR).  Compressed streams raise NotImplementedError — that is ffmpeg
+    territory, honestly out of scope for a stdlib codec."""
+    if not is_avi(data):
+        raise ValueError("not an AVI")
+    w = h = usec = 0
+    payloads: list[bytes] = []
+    for fcc, pos, size in _riff_chunks(data, 12, len(data)):
+        if fcc != b"LIST":
+            continue
+        kind = data[pos : pos + 4]
+        if kind == b"hdrl":
+            for f2, p2, s2 in _riff_chunks(data, pos + 4, pos + size):
+                if f2 == b"avih":
+                    vals = struct.unpack_from(_AVIH, data, p2)
+                    usec, w, h = vals[0], vals[8], vals[9]
+                if f2 == b"LIST" and data[p2 : p2 + 4] == b"strl":
+                    for f3, p3, s3 in _riff_chunks(data, p2 + 4, p2 + s2):
+                        if f3 == b"strf":
+                            bpp, comp = struct.unpack_from("<HI", data, p3 + 14)
+                            if bpp != 24 or comp != 0:
+                                raise NotImplementedError(
+                                    f"compressed/non-24-bit AVI stream (bpp={bpp}, "
+                                    f"compression={comp}) needs ffmpeg — out of scope"
+                                )
+        elif kind == b"movi":
+            for f2, p2, s2 in _riff_chunks(data, pos + 4, pos + size):
+                if f2 in (b"00db", b"00dc"):
+                    payloads.append(data[p2 : p2 + s2])
+    if not (w and h):
+        raise ValueError("AVI missing avih header")
+    row = _frame_rows(w)
+    frames = np.zeros((len(payloads), h, w, 3), dtype=np.uint8)
+    for i, p in enumerate(payloads):
+        dib = np.frombuffer(p, dtype=np.uint8, count=row * h).reshape(h, row)
+        frames[i] = dib[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1]  # → top-down RGB
+    fps = 1_000_000.0 / usec if usec else 0.0
+    return frames, fps
+
+
+def is_avi(data: bytes) -> bool:
+    return len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"AVI "
+
+
+# ---------------------------------------------------------------------------
 # feature kernels (deterministic, FEATURE_DIM floats)
 # ---------------------------------------------------------------------------
 
@@ -145,6 +259,30 @@ def bmp_features(data: bytes, dim: int) -> np.ndarray:
             px.std(axis=(0, 1)),
             hist / max(luma.size, 1),
             [float(luma.mean())],
+        ]
+    )
+    return np.resize(feats, dim).astype(np.float32)
+
+
+def avi_features(data: bytes, dim: int) -> np.ndarray:
+    """Real video features from decoded frames: count/rate/dims, global
+    pixel mean/std, per-channel means, and luma of first/middle/last frame
+    (cheap motion proxy: luma deltas)."""
+    frames, fps = decode_avi(data)
+    n = len(frames)
+    if n == 0:
+        return np.zeros(dim, dtype=np.float32)
+    px = frames.astype(np.float64) / 255.0
+    h, w = px.shape[1], px.shape[2]
+    lw = np.array([0.299, 0.587, 0.114])
+    luma3 = [float((px[i] @ lw).mean()) for i in (0, n // 2, n - 1)]
+    feats = np.concatenate(
+        [
+            [n / 1000.0, fps / 60.0, w / 1024.0, h / 1024.0,
+             float(px.mean()), float(px.std())],
+            px.mean(axis=(0, 1, 2)),
+            luma3,
+            [luma3[1] - luma3[0], luma3[2] - luma3[1]],
         ]
     )
     return np.resize(feats, dim).astype(np.float32)

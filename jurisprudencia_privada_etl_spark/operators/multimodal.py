@@ -139,9 +139,10 @@ def synthetic_assets(spark, n: int, seed: int = 42) -> DataFrame:
 
 
 def _decode_kernel(data: bytes, media_type: str, mode: str) -> np.ndarray:
-    """Real decode for WAV (stdlib wave) and 24-bit BMP (codecs.py); video
-    and unknown payloads fall back per mode ('auto' → deterministic fake,
-    'strict' → NotImplementedError, the slot where ffmpeg/PIL would go)."""
+    """Real decode for WAV (stdlib wave), 24-bit BMP, and uncompressed-DIB
+    AVI (codecs.py); compressed video and unknown payloads fall back per
+    mode ('auto' → deterministic fake, 'strict' → NotImplementedError, the
+    slot where ffmpeg/PIL would go)."""
     data = data or b""
     if mode != "fake":
         # magic-sniffed real decode; a spoofed/corrupt payload (anything can
@@ -152,6 +153,8 @@ def _decode_kernel(data: bytes, media_type: str, mode: str) -> np.ndarray:
                 return codecs.wav_features(data, FEATURE_DIM)
             if codecs.is_bmp(data):
                 return codecs.bmp_features(data, FEATURE_DIM)
+            if codecs.is_avi(data):
+                return codecs.avi_features(data, FEATURE_DIM)
         except Exception:
             if mode == "strict":
                 raise
@@ -159,8 +162,9 @@ def _decode_kernel(data: bytes, media_type: str, mode: str) -> np.ndarray:
             if mode == "strict":
                 raise NotImplementedError(
                     f"real {media_type} decode for this payload requires codec "
-                    "libraries not present in this container (only WAV/BMP have "
-                    "stdlib decoders); run with decode_stub_mode='auto' or 'fake'"
+                    "libraries not present in this container (only WAV/BMP/"
+                    "uncompressed-AVI have stdlib decoders); run with "
+                    "decode_stub_mode='auto' or 'fake'"
                 )
     # deterministic fake features: bytes → sha256 → 16 floats in [0,1)
     h = hashlib.sha256(data).digest()
@@ -246,9 +250,16 @@ def resize_images(df: DataFrame, width: int, height: int, decode_stub_mode: str 
 
 
 def sample_frames(df: DataFrame, every_ms: int = 1000, decode_stub_mode: str = "fake") -> DataFrame:
-    """Frame-sampling stub for video: real impl emits one row per sampled
-    frame.  Fake mode emits deterministic frame stamps from meta.duration_ms
-    — exercises the one-to-many mapInPandas shape."""
+    """Frame sampling for video — one output row per sampled frame.
+
+    REAL for uncompressed-DIB AVI payloads (codecs.decode_avi): the frame
+    at each ``every_ms`` timestamp is picked by index (``ms*fps/1000``) and
+    ``frame_sha`` is the sha256 of that frame's decoded RGB pixels — the
+    exact shape an ffmpeg-backed implementation would produce.  Non-AVI
+    payloads: 'fake'/'auto' emit deterministic frame stamps from
+    meta.duration_ms (exercising the one-to-many mapInPandas shape);
+    'strict' raises — compressed video needs ffmpeg, honestly out of
+    scope for a stdlib codec."""
     out_schema = T.StructType(
         [
             T.StructField("asset_id", T.LongType(), False),
@@ -261,8 +272,39 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, decode_stub_mode: str = "
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            # REAL path first: decode AVI rows, sample frames by timestamp
+            avi_mask = pdf["data"].map(
+                lambda b: b is not None and codecs.is_avi(bytes(b))
+            )
+            real_rows = []
+            if decode_stub_mode != "fake" and avi_mask.any():
+                for aid, blob in zip(
+                    pdf.loc[avi_mask, "asset_id"], pdf.loc[avi_mask, "data"]
+                ):
+                    frames, fps = codecs.decode_avi(bytes(blob))
+                    if not len(frames) or fps <= 0:
+                        continue
+                    dur_ms = int(len(frames) / fps * 1000)
+                    for ms in range(0, max(dur_ms, 1), every_ms):
+                        idx = min(int(ms * fps / 1000), len(frames) - 1)
+                        real_rows.append(
+                            (
+                                int(aid),
+                                ms,
+                                hashlib.sha256(frames[idx].tobytes()).hexdigest(),
+                            )
+                        )
+                pdf = pdf[~avi_mask]
             if decode_stub_mode == "strict":
-                raise NotImplementedError("video decode requires ffmpeg; not in container")
+                if len(pdf):
+                    raise NotImplementedError(
+                        "compressed video decode requires ffmpeg; only "
+                        "uncompressed-DIB AVI has a stdlib decoder"
+                    )
+                yield pd.DataFrame(
+                    real_rows, columns=["asset_id", "frame_ms", "frame_sha"]
+                ).astype({"asset_id": "int64", "frame_ms": "int32"})
+                continue
             # one-to-many expansion as a numpy repeat: n_frames per row from
             # meta.duration_ms, then a flat frame-stamp grid — no iterrows.
             durs = np.array(
@@ -273,7 +315,7 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, decode_stub_mode: str = "
             starts = np.repeat(np.cumsum(n_frames) - n_frames, n_frames)
             frame_ms = (np.arange(len(idx)) - starts) * every_ms
             data = pdf["data"].to_numpy()
-            yield pd.DataFrame(
+            fake = pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"].to_numpy()[idx],
                     "frame_ms": frame_ms.astype("int32"),
@@ -284,6 +326,17 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, decode_stub_mode: str = "
                         for i, ms in zip(idx, frame_ms)
                     ],
                 }
-            ).astype({"asset_id": "int64", "frame_ms": "int32"})
+            )
+            if real_rows:  # 'auto': decoded AVI frames ride out with the rest
+                fake = pd.concat(
+                    [
+                        pd.DataFrame(
+                            real_rows, columns=["asset_id", "frame_ms", "frame_sha"]
+                        ),
+                        fake,
+                    ],
+                    ignore_index=True,
+                )
+            yield fake.astype({"asset_id": "int64", "frame_ms": "int32"})
 
     return df.where(F.col("media_type") == "video").mapInPandas(run, schema=out_schema)

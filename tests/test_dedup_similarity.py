@@ -282,6 +282,58 @@ def test_wav_features_are_real():
     assert abs(f[2] - 400.0 / 8000.0) < 0.01            # zero-crossing rate
 
 
+def test_avi_roundtrip_and_real_video_path(spark):
+    """Uncompressed-DIB AVI is a REAL stdlib-decodable video container:
+    byte-exact frame round trip, real features, and sample_frames emits
+    one row per timestamp with the sha of the DECODED frame pixels —
+    while compressed video still honestly raises in strict mode."""
+    import hashlib
+
+    import numpy as np
+    import pytest
+
+    from jurisprudencia_privada_etl_spark.functions import codecs
+    from jurisprudencia_privada_etl_spark.operators.multimodal import ASSET_SCHEMA
+
+    rng = np.random.default_rng(11)
+    frames = rng.integers(0, 256, size=(6, 5, 7, 3), dtype=np.uint8)  # 3s @ 2fps
+    avi = codecs.encode_avi(frames, fps=2)
+    assert codecs.is_avi(avi) and not codecs.is_wav(avi)
+    out, fps = codecs.decode_avi(avi)
+    assert fps == 2.0 and np.array_equal(out, frames)
+
+    assets = spark.createDataFrame(
+        [
+            (0, "video", bytearray(avi), (None, None, None, "dib")),
+            (1, "video", bytearray(b"BLOB:fake"), (None, None, 2500, "fake")),
+        ],
+        ASSET_SCHEMA,
+    )
+    # real sampling: 3000ms @ every 1000ms → frames 0,2,4; sha of DECODED pixels
+    got = (
+        sample_frames(assets, every_ms=1000, decode_stub_mode="auto")
+        .toPandas()
+        .sort_values(["asset_id", "frame_ms"])
+    )
+    real = got[got["asset_id"] == 0]
+    assert list(real["frame_ms"]) == [0, 1000, 2000]
+    assert list(real["frame_sha"]) == [
+        hashlib.sha256(frames[i].tobytes()).hexdigest() for i in (0, 2, 4)
+    ]
+    assert len(got[got["asset_id"] == 1]) == 3  # fake rows still flow in auto
+    # features are REAL for AVI (differ from the sha-derived fake ones)
+    auto = extract_features(assets, decode_stub_mode="auto").toPandas().set_index("asset_id")
+    fake = extract_features(assets, decode_stub_mode="fake").toPandas().set_index("asset_id")
+    assert not np.allclose(auto.loc[0]["features"], fake.loc[0]["features"])
+    assert np.allclose(auto.loc[1]["features"], fake.loc[1]["features"])
+    # strict: AVI rows decode for real; compressed/unknown video still raises
+    only_avi = assets.where("asset_id = 0")
+    strict = sample_frames(only_avi, every_ms=1000, decode_stub_mode="strict").toPandas()
+    assert len(strict) == 3
+    with pytest.raises(Exception, match="ffmpeg"):
+        sample_frames(assets, every_ms=1000, decode_stub_mode="strict").collect()
+
+
 def test_multimodal_real_decode_in_spark(spark):
     """synthetic audio/image assets are REAL WAV/BMP bytes and the auto mode
     decodes them (features differ from the fake sha-derived ones)."""
