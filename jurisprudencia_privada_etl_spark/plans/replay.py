@@ -138,38 +138,59 @@ def process_epoch(
     the replay loop prefetches the next epoch's stats on a background thread
     while the current epoch's merge write runs, hiding the stats scan
     entirely (the per-epoch fixed-overhead fix, round-3 judge item #2)."""
+    from concurrent.futures import Future, ThreadPoolExecutor
+
     if sink.last_committed_epoch() >= epoch:
         return {"skipped": True, "epoch": epoch}
     if epoch in cfg.schema_evolution:
         sink.evolve(cfg.schema_evolution[epoch])
     payload = [c.name for c in sink.manifest().schema.columns]
-    extra: dict = {}
-    if cfg.validate:
-        from jurisprudencia_privada_etl_spark.operators.reconcile import split_valid
+    # side-channel writes (dead letter, conflicts) read only the PREVIOUS
+    # snapshot's files, which copy-on-write leaves untouched — so they run
+    # on a small pool CONCURRENTLY with the merge's write job, and their
+    # row counts join just before the manifest publish (extra_metrics_fn).
+    # Crash semantics unchanged: both are overwrite-mode writes that re-run
+    # idempotently with the epoch.
+    side: list[tuple[str, Future]] = []
+    pool = ThreadPoolExecutor(max_workers=2, thread_name_prefix=f"side_{epoch}")
+    try:
+        if cfg.validate:
+            from jurisprudencia_privada_etl_spark.operators.reconcile import split_valid
 
-        batch, dead = split_valid(batch, required_cols=["repo", "path", "ordinal"])
-        dead_dir = f"{sink.table_path}/_dead_letter/epoch={epoch}"
-        n_dead = _write_counted(spark, dead, dead_dir, f"dead_letter_{epoch}")
-        if n_dead:
-            extra["dead_letter_rows"] = n_dead
-    # touched buckets + lineage from the raw batch (cheap JVM scan) so the
-    # Arrow extraction executes exactly once, inside the merge's write job
-    touched, lineage = stats if stats is not None else sink.key_stats(batch)
-    if cfg.conflict_fields:
-        from jurisprudencia_privada_etl_spark.operators.conflicts import conflict_report
+            batch, dead = split_valid(batch, required_cols=["repo", "path", "ordinal"])
+            dead_dir = f"{sink.table_path}/_dead_letter/epoch={epoch}"
+            side.append(
+                ("dead_letter_rows",
+                 pool.submit(_write_counted, spark, dead, dead_dir, f"dead_letter_{epoch}"))
+            )
+        # touched buckets + lineage from the raw batch (cheap JVM scan) so the
+        # Arrow extraction executes exactly once, inside the merge's write job
+        touched, lineage = stats if stats is not None else sink.key_stats(batch)
+        if cfg.conflict_fields:
+            from jurisprudencia_privada_etl_spark.operators.conflicts import conflict_report
 
-        # raw LWW winners (no extraction — conflict fields are changelog
-        # columns) vs the live rows of the touched buckets only: the join
-        # input is bounded by the epoch's footprint, not the table size.
-        conf = conflict_report(
-            sink.load(buckets=touched), lww_dedup_agg(batch), cfg.conflict_fields
+            # raw LWW winners (no extraction — conflict fields are changelog
+            # columns) vs the live rows of the touched buckets only: the join
+            # input is bounded by the epoch's footprint, not the table size.
+            conf = conflict_report(
+                sink.load(buckets=touched), lww_dedup_agg(batch), cfg.conflict_fields
+            )
+            conf_dir = f"{sink.table_path}/_conflicts/epoch={epoch}"
+            side.append(
+                ("conflict_rows",
+                 pool.submit(_write_counted, spark, conf, conf_dir, f"conflicts_{epoch}"))
+            )
+        updates = prepare_epoch_updates(spark, batch, cfg, payload)
+
+        def side_metrics() -> dict:
+            return {name: n for name, fut in side for n in [fut.result()] if n}
+
+        return sink.merge(
+            updates, epoch, touched=touched, lineage=lineage,
+            extra_metrics_fn=side_metrics if side else None,
         )
-        conf_dir = f"{sink.table_path}/_conflicts/epoch={epoch}"
-        n_conf = _write_counted(spark, conf, conf_dir, f"conflicts_{epoch}")
-        if n_conf:
-            extra["conflict_rows"] = n_conf
-    updates = prepare_epoch_updates(spark, batch, cfg, payload)
-    return sink.merge(updates, epoch, touched=touched, lineage=lineage, extra_metrics=extra)
+    finally:
+        pool.shutdown(wait=True)
 
 
 def replay(

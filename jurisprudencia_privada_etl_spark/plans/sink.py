@@ -474,6 +474,7 @@ class HadoopParquetSink:
         extra_metrics: dict[str, Any] | None = None,
         touched: list[int] | None = None,
         lineage: list[dict[str, Any]] | None = None,
+        extra_metrics_fn: Any | None = None,
     ) -> dict[str, Any]:
         """Apply one epoch's deduped updates.  Exactly-once: a re-run of an
         already-committed epoch is a no-op (epoch stamp check, the engine's
@@ -486,6 +487,13 @@ class HadoopParquetSink:
         ``touched``/``lineage`` can be precomputed from the raw batch via
         ``key_stats`` (the replay does); when absent they are computed from
         ``updates``, which costs one extra pass over its plan.
+
+        ``extra_metrics_fn``: zero-arg callable resolved just BEFORE the
+        manifest publish, merged into the epoch metrics.  The replay hands
+        it the join on its side-channel (dead-letter/conflicts) write
+        futures, so those jobs run CONCURRENTLY with the merge's own write
+        job — they only read the previous snapshot's files, which
+        copy-on-write leaves untouched.
         """
         m = self.manifest()
         if mf.epoch_already_applied(m.last_committed_epoch, epoch):
@@ -582,6 +590,8 @@ class HadoopParquetSink:
             "partitions": lineage,
             **(extra_metrics or {}),
         }
+        if extra_metrics_fn is not None:
+            metrics.update(extra_metrics_fn() or {})
 
         if self.crash_before_publish:
             raise RuntimeError("injected crash: data written, manifest NOT published")
