@@ -299,6 +299,50 @@ def test_sidecar_pdf_roundtrip_matches_direct_parse(spark):
     )
 
 
+def test_pdf_grid_roundtrip_property():
+    """Property: ANY grid of printable Latin-1 cells survives the PDF
+    write → extract round trip exactly (positions, escaping, Flate,
+    multi-page) — the guarantee the sidecar pipeline builds on."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from jurisprudencia_privada_etl_spark.functions.pdftext import (
+        make_grid_pdf,
+        pdf_to_grids,
+    )
+
+    cell = st.text(
+        alphabet=st.characters(
+            min_codepoint=32, max_codepoint=255, exclude_categories=("Cc",)
+        ),
+        min_size=1,
+        max_size=12,
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        pages=st.lists(
+            st.integers(1, 4).flatmap(
+                lambda ncols: st.lists(
+                    st.lists(cell, min_size=ncols, max_size=ncols),
+                    min_size=1,
+                    max_size=5,
+                )
+            ),
+            min_size=1,
+            max_size=3,
+        ),
+        compress=st.booleans(),
+    )
+    def check(pages, compress):
+        grids = pdf_to_grids(make_grid_pdf(pages, compress=compress))
+        assert len(grids) == len(pages)
+        for got, want in zip(grids, pages):
+            assert got.values.tolist() == want
+
+    check()
+
+
 def test_pdf_extractor_honest_limits():
     """Scanned (no text layer) and encrypted PDFs still raise — documented
     limits, not silent garbage.  Uncompressed streams and multi-line /
