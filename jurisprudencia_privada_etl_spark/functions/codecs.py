@@ -193,8 +193,15 @@ def decode_avi(data: bytes) -> tuple[np.ndarray, float]:
                     vals = struct.unpack_from(_AVIH, data, p2)
                     usec, w, h = vals[0], vals[8], vals[9]
                 if f2 == b"LIST" and data[p2 : p2 + 4] == b"strl":
+                    # strh precedes strf within a strl (AVI spec); only a
+                    # VIDEO stream's strf is a BITMAPINFOHEADER — an audio
+                    # strl carries a WAVEFORMATEX whose bytes at offset 14
+                    # are not bpp/compression, so gate on fccType == 'vids'
+                    stream_type = b""
                     for f3, p3, s3 in _riff_chunks(data, p2 + 4, p2 + s2):
-                        if f3 == b"strf":
+                        if f3 == b"strh":
+                            stream_type = data[p3 : p3 + 4]
+                        elif f3 == b"strf" and stream_type == b"vids":
                             bpp, comp = struct.unpack_from("<HI", data, p3 + 14)
                             if bpp != 24 or comp != 0:
                                 raise NotImplementedError(

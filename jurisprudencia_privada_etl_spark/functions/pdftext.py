@@ -65,8 +65,7 @@ def _scan_literal_string(buf: bytes, i: int) -> tuple[bytes, int]:
             if nxt in esc:
                 out += esc[nxt]
                 i += 2
-            elif nxt.isdigit():  # \ddd octal (1-3 digits)
-                m = re.match(rb"\\([0-7]{1,3})", buf[i:])
+            elif (m := re.match(rb"\\([0-7]{1,3})", buf[i:])):  # \ddd octal
                 out.append(int(m.group(1), 8) & 0xFF)
                 i += m.end()
             else:  # line continuation or unknown: drop the backslash
@@ -226,8 +225,11 @@ class PdfDocument:
 
     def _parse_trailer(self) -> dict:
         # classic trailer dict; 1.5+ files keep a /Root in the xref stream
-        # dict instead, which _scan_objects already captured as an object
-        for m in re.finditer(rb"trailer", self.data):
+        # dict instead, which _scan_objects already captured as an object.
+        # Reverse order: an incrementally-updated PDF appends a new trailer,
+        # and the spec resolves from the LAST startxref backward — the first
+        # trailer would be the superseded original revision's
+        for m in reversed(list(re.finditer(rb"trailer", self.data))):
             toks = _tokens(self.data[m.end() : m.end() + 2048])
             if toks and toks[0] == ("op2", "<<"):
                 d, _ = _parse_value(toks, 0)

@@ -409,10 +409,16 @@ def simhash_pandas(col: Column | str, seed: int = 42) -> Column:
                 categorize=False,
                 hash_key=f"{seed & 0xFFFFFFFFFFFFFFFF:016x}",
             ).astype(np.uint64)
-            bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
             nonempty = np.nonzero(counts > 0)[0]
             starts = np.cumsum(counts) - counts
-            sums = np.add.reduceat(bits, starts[nonempty], axis=0)  # (k, 64)
+            # one bit-column at a time: a full (total_tokens, 64) int64 bits
+            # matrix is 512 B/token (~5 GB for a 10k-doc batch of 1k-token
+            # documents); the per-bit temp is 8 B/token, same O(work)
+            sums = np.empty((len(nonempty), 64), dtype=np.int64)
+            seg = starts[nonempty]
+            for s in range(64):
+                col = ((hs >> np.uint64(s)) & np.uint64(1)).astype(np.int64)
+                sums[:, s] = np.add.reduceat(col, seg)
             votes = 2 * sums - counts[nonempty, None]
             words = ((votes > 0).astype(np.uint64) * pow2[None, :]).sum(axis=1)
             out[nonempty] = words.astype(np.int64)

@@ -272,16 +272,27 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, decode_stub_mode: str = "
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            # REAL path first: decode AVI rows, sample frames by timestamp
-            avi_mask = pdf["data"].map(
-                lambda b: b is not None and codecs.is_avi(bytes(b))
-            )
+            # REAL path first: decode AVI rows, sample frames by timestamp.
+            # The RIFF sniff (and the per-row lambda computing it) only runs
+            # outside 'fake' mode — the default benched path stays vectorized.
             real_rows = []
-            if decode_stub_mode != "fake" and avi_mask.any():
-                for aid, blob in zip(
-                    pdf.loc[avi_mask, "asset_id"], pdf.loc[avi_mask, "data"]
-                ):
-                    frames, fps = codecs.decode_avi(bytes(blob))
+            if decode_stub_mode != "fake":
+                avi_mask = pdf["data"].map(
+                    lambda b: b is not None and codecs.is_avi(bytes(b))
+                )
+                for ridx in pdf.index[avi_mask]:
+                    aid = pdf.at[ridx, "asset_id"]
+                    blob = pdf.at[ridx, "data"]
+                    try:
+                        frames, fps = codecs.decode_avi(bytes(blob))
+                    except Exception:
+                        # sniffed RIFF/AVI but truncated/compressed body: in
+                        # 'auto' fall through to the fake stamps (same
+                        # contract as _decode_kernel); 'strict' propagates
+                        if decode_stub_mode == "strict":
+                            raise
+                        avi_mask.at[ridx] = False
+                        continue
                     if not len(frames) or fps <= 0:
                         continue
                     dur_ms = int(len(frames) / fps * 1000)
@@ -294,7 +305,8 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, decode_stub_mode: str = "
                                 hashlib.sha256(frames[idx].tobytes()).hexdigest(),
                             )
                         )
-                pdf = pdf[~avi_mask]
+                if avi_mask.any():
+                    pdf = pdf[~avi_mask]
             if decode_stub_mode == "strict":
                 if len(pdf):
                     raise NotImplementedError(

@@ -25,7 +25,23 @@ def write_changelog(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     10^10 events that pass would otherwise re-scan the entire payload
     volume once per epoch.  Changelogs from other writers simply lack the
     column and key_stats falls back to ``octet_length(content)``.
+
+    Appends conform to the EXISTING table's schema: mixing files with and
+    without ``_content_bytes`` under one path would make the stats pass
+    depend on which footer Spark resolves (nulls silently undercounting
+    byte lineage, or the fast path silently off) — a pre-fast-path
+    changelog therefore stays uniformly without the column, and the
+    consumer's ``octet_length`` fallback stays correct for every row.
     """
+    if mode == "append":
+        try:
+            existing = set(df.sparkSession.read.parquet(path).schema.fieldNames())
+        except Exception:  # first write: path doesn't exist yet
+            existing = None
+        if existing is not None and "_content_bytes" not in existing:
+            df = df.drop("_content_bytes")
+            df.write.mode(mode).partitionBy("epoch").parquet(path)
+            return
     if "content" in df.columns and "_content_bytes" not in df.columns:
         df = df.withColumn("_content_bytes", F.octet_length("content"))
     df.write.mode(mode).partitionBy("epoch").parquet(path)

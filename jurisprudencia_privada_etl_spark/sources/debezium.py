@@ -82,14 +82,19 @@ def parse_debezium(
     )
     image = F.when(op_raw == "d", p.getField("before")).otherwise(p.getField("after"))
     ordinal = F.coalesce(p.getField("source").getField("lsn"), p.getField("ts_ms"))
-    # integer arithmetic, NOT long/int → double division: pg_lsn is a full
-    # 64-bit value, and doubles lose integer precision above 2^53, which
-    # would land high-LSN events in the wrong epoch
+    # exact integer arithmetic — two traps hide here: long/int promotes to
+    # double (loses integer precision above 2^53; pg_lsn is a full 64-bit
+    # value), and decimal(38,0)/int rounds HALF_UP at scale 6 BEFORE floor()
+    # (so lsn=9_999_999 with events_per_epoch=10_000_000 would round 0.9999999
+    # up to 1.000000 and land in epoch 1).  Subtracting pmod first makes the
+    # numerator an exact multiple, so the decimal division is exact.
+    o = ordinal.cast("long")
     epoch_col = (
         epoch
         if epoch is not None
-        else F.floor(
-            ordinal.cast("decimal(38,0)") / F.lit(events_per_epoch)
+        else (
+            (o - F.pmod(o, F.lit(events_per_epoch))).cast("decimal(38,0)")
+            / F.lit(events_per_epoch)
         ).cast("long")
     )
     cols = [

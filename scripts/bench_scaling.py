@@ -302,7 +302,7 @@ def _render(n_events, rounds, reps, pair_rounds) -> str:
         f"| full CDC replay, {n_events/1e6:.0f}M events (round {headline_idx}) | {best['b8f']:.1f}s "
         f"({n_events/best['b8f']:,.0f} ev/s) | {best['b32f']:.1f}s ({n_events/best['b32f']:,.0f} ev/s) "
         f"| **{med_full:.2f}** (best plausible round "
-        f"{max(per_round[i]['eff_full'] for i in range(len(per_round)) if _calib_dirt(i) < 1.0):.2f}) |",
+        f"{max([per_round[i]['eff_full'] for i in range(len(per_round)) if _calib_dirt(i) < 1.0] or [per_round[headline_idx]['eff_full']]):.2f}) |",
         f"| marginal data path (Amdahl-free slope, {n_events/1e6:g}M vs {eq/1e6:g}M) "
         f"| {1/best['w8']:,.0f} ev/s | {1/best['w32']:,.0f} ev/s | **{med_marg:.2f}** |",
         f"| compute core (no sink IO) | {best['b8c']:.1f}s | {best['b32c']:.1f}s | {med_core:.2f} |",

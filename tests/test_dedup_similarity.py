@@ -334,6 +334,58 @@ def test_avi_roundtrip_and_real_video_path(spark):
         sample_frames(assets, every_ms=1000, decode_stub_mode="strict").collect()
 
 
+def test_avi_corrupt_payload_and_audio_stream(spark):
+    """Two decode edge cases: (1) a payload that SNIFFS as RIFF/AVI but has a
+    truncated body falls back to fake frame stamps in auto mode instead of
+    failing the job (strict still raises); (2) a valid DIB-video AVI that
+    also carries an audio strl (whose strf is a WAVEFORMATEX, not a
+    BITMAPINFOHEADER) decodes — the bpp/compression check gates on the
+    strh fccType being 'vids'."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from jurisprudencia_privada_etl_spark.functions import codecs
+    from jurisprudencia_privada_etl_spark.operators.multimodal import ASSET_SCHEMA
+
+    # --- corrupt: valid sniff header, garbage body
+    corrupt = b"RIFF" + struct.pack("<I", 4) + b"AVI " + b"\x00" * 8
+    assert codecs.is_avi(corrupt)
+    with pytest.raises(ValueError):
+        codecs.decode_avi(corrupt)
+    assets = spark.createDataFrame(
+        [(0, "video", bytearray(corrupt), (None, None, 2500, "x"))], ASSET_SCHEMA
+    )
+    got = sample_frames(assets, every_ms=1000, decode_stub_mode="auto").toPandas()
+    assert len(got) == 3  # fake stamps from duration_ms, job did not fail
+    with pytest.raises(Exception):
+        sample_frames(assets, every_ms=1000, decode_stub_mode="strict").collect()
+
+    # --- audio+video: splice an 'auds' strl (PCM WAVEFORMATEX strf) into hdrl
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 256, size=(4, 3, 4, 3), dtype=np.uint8)
+    avi = bytearray(codecs.encode_avi(frames, fps=2))
+
+    def chunk(fcc, payload):
+        pad = b"\x00" if len(payload) % 2 else b""
+        return fcc + struct.pack("<I", len(payload)) + payload + pad
+
+    wf = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)  # PCM WAVEFORMATEX
+    strh_a = chunk(b"strh", struct.pack("<4s4sIHHIIIIIIIIhhhh", b"auds", b"\x00" * 4,
+                                        0, 0, 0, 0, 1, 8000, 0, 8000, 2, 0, 0, 0, 0, 0, 0))
+    strl_a = chunk(b"LIST", b"strl" + strh_a + chunk(b"strf", wf))
+    # insert the audio strl right before the end of the hdrl LIST and fix sizes
+    hdrl_pos = avi.index(b"hdrl") - 8  # LIST header start
+    (hdrl_size,) = struct.unpack_from("<I", avi, hdrl_pos + 4)
+    insert_at = hdrl_pos + 8 + hdrl_size
+    avi[insert_at:insert_at] = strl_a
+    struct.pack_into("<I", avi, hdrl_pos + 4, hdrl_size + len(strl_a))
+    struct.pack_into("<I", avi, 4, struct.unpack_from("<I", avi, 4)[0] + len(strl_a))
+    out, fps = codecs.decode_avi(bytes(avi))
+    assert fps == 2.0 and np.array_equal(out, frames)
+
+
 def test_multimodal_real_decode_in_spark(spark):
     """synthetic audio/image assets are REAL WAV/BMP bytes and the auto mode
     decodes them (features differ from the fake sha-derived ones)."""

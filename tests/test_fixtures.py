@@ -283,6 +283,34 @@ def test_dead_letter_channel_in_replay(spark, tmp_path):
     assert sink.manifest().metrics.get("dead_letter_rows") == 2
 
 
+def test_changelog_append_conforms_to_existing_schema(spark, tmp_path):
+    """Appending to a changelog written WITHOUT `_content_bytes` (another
+    writer's files) must not introduce the column: mixed footers would make
+    the stats fast path read NULL byte sizes for the old files' rows —
+    silently undercounting byte lineage — or resolve to the old schema and
+    silently disable the fast path, depending on file listing order.  The
+    append conforms; a fresh table still gets the column."""
+    import pyspark.sql.functions as F
+
+    from jurisprudencia_privada_etl_spark.sources.changelog import write_changelog
+
+    clog = str(tmp_path / "legacy")
+    e0 = make_log(spark, [(0, 1, "I", "r1", "a.py", "c1", "py", "v1")]).withColumn(
+        "_content_bytes", F.octet_length("content")
+    ).drop("_content_bytes")  # simulate a foreign writer: plain schema
+    e0.write.mode("overwrite").partitionBy("epoch").parquet(clog)
+    e1 = make_log(spark, [(1, 2, "I", "r1", "b.py", "c2", "py", "v2-longer")])
+    write_changelog(e1, clog, mode="append")
+    assert "_content_bytes" not in spark.read.parquet(clog).columns
+    # every row's bytes still flow through the octet_length fallback
+    got = spark.read.parquet(clog).select(F.sum(F.octet_length("content"))).first()[0]
+    assert got == len("v1") + len("v2-longer")
+
+    fresh = str(tmp_path / "fresh")
+    write_changelog(e1, fresh, mode="append")  # append onto nothing
+    assert "_content_bytes" in spark.read.parquet(fresh).columns
+
+
 def test_schema_evolution_from_stored_changelog(spark, tmp_path):
     """Evolution epochs read from DISK: epoch 1's parquet files carry the new
     `stars` column; the replay surfaces it via footer merging and the sink

@@ -482,6 +482,23 @@ def test_parse_debezium_normalizes_ops_and_images(spark):
     assert len(bad) == 1 and bad[0]["ordinal"] is None
 
 
+def test_parse_debezium_epoch_boundary_exact(spark):
+    """Epoch derivation is exact integer math: lsn=9,999,999 with
+    events_per_epoch=10M is epoch 0 (a decimal division that rounds HALF_UP
+    at scale 6 before floor() would land it in epoch 1), and LSNs above 2^53
+    don't lose precision to a double promotion (pg_lsn is full 64-bit)."""
+    row = {"repo": "r", "path": "p", "commit": "c", "lang": "py", "content": "x"}
+    n = 10_000_000
+    vals = [
+        (_envelope("c", row, lsn=n - 1),),
+        (_envelope("c", row, lsn=n),),
+        (_envelope("c", row, lsn=(1 << 62) + 12345),),
+    ]
+    df = spark.createDataFrame(vals, "value string")
+    out = parse_debezium(df, events_per_epoch=n).orderBy("ordinal").collect()
+    assert [r["epoch"] for r in out] == [0, 1, ((1 << 62) + 12345) // n]
+
+
 def test_debezium_feed_replays_to_converged_state(spark, tmp_path):
     """End-to-end: a Debezium tail → parse → full replay → LWW state matches
     the independent reducer (the whole pipeline runs unchanged on the

@@ -362,3 +362,31 @@ def test_pdf_extractor_honest_limits():
     cells = [[["A (x)", "B\\C"], ["1)", "(2"]]]
     g = pdf_to_grids(make_grid_pdf(cells, compress=False))
     assert g[0].values.tolist() == [["A (x)", "B\\C"], ["1)", "(2"]]
+
+
+def test_pdf_invalid_octal_escape_and_incremental_update():
+    """Two real-world PDF quirks: (1) an invalid-octal escape like \\8 in a
+    literal string is tolerated by dropping the backslash (PDF spec
+    behavior), not an AttributeError; (2) an incrementally-updated PDF (two
+    trailers, both with /Root) resolves from the LAST trailer, so the
+    updated revision's content wins over the superseded original."""
+    from jurisprudencia_privada_etl_spark.functions.pdftext import (
+        _scan_literal_string,
+        make_grid_pdf,
+        pdf_to_grids,
+    )
+
+    # (1) \8 and \9 pass isdigit() but are not octal: backslash drops
+    s, _ = _scan_literal_string(b"(a\\8b\\9c\\101)", 0)
+    assert s == b"a8b9cA"  # \101 IS valid octal → 'A'
+
+    # (2) splice: original PDF body + an updated PDF appended after it; both
+    # carry a trailer with /Root.  A first-trailer-wins parser reads the
+    # stale original grid.
+    original = make_grid_pdf([[["OLD"]]], compress=False)
+    update = make_grid_pdf([[["NEW"]]], compress=False)
+    # renumber nothing — the appended revision redefines objects 1..n and
+    # its trailer appears last, which is what the resolver must prefer
+    spliced = original + b"\n" + update
+    grids = pdf_to_grids(spliced)
+    assert grids[0].values.tolist() == [["NEW"]]
