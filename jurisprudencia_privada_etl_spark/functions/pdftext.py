@@ -177,6 +177,7 @@ class PdfDocument:
         self.data = data
         self.objects: dict[int, tuple[object, bytes | None]] = {}
         self._scan_objects()
+        self._expand_object_streams()
         self.trailer = self._parse_trailer()
 
     # -- structure -----------------------------------------------------------
@@ -222,6 +223,55 @@ class PdfDocument:
                 else:
                     raw = self.data[body:end]
                     self.objects[num] = (value, raw.rstrip(b"\r\n"))
+
+    def _expand_object_streams(self) -> None:
+        """PDF 1.5+ object streams (``/Type /ObjStm``): Flate containers
+        holding many non-stream objects — the layout every modern writer
+        emits.  The decoded stream starts with ``/N`` pairs of integers
+        ``objnum offset`` (offsets relative to ``/First``), followed by the
+        object bodies, parsed here with the same tokenizer as direct
+        objects.  Directly-defined objects are never clobbered: the scanner
+        already applies last-definition-wins for incremental updates, and an
+        object redefined directly supersedes its object-stream copy."""
+        for num, (value, stream) in list(self.objects.items()):
+            if not (isinstance(value, dict) and stream is not None):
+                continue
+            vtype = value.get("Type")
+            if not (isinstance(vtype, Name) and vtype.value == "ObjStm"):
+                continue
+            try:
+                body = self.stream_bytes(num)
+            except (NotImplementedError, zlib.error):
+                continue  # unsupported filter/corrupt: direct objects still work
+            n = self.resolve(value.get("N"))
+            first = self.resolve(value.get("First"))
+            if not (isinstance(n, int) and isinstance(first, int)):
+                continue
+            header = body[:first].split()
+            pairs = [
+                (int(header[2 * i]), int(header[2 * i + 1]))
+                for i in range(min(n, len(header) // 2))
+            ]
+            # slice each body at the next-higher offset (spec does not
+            # require ascending order, so compute bounds by rank)
+            order = sorted(range(len(pairs)), key=lambda i: pairs[i][1])
+            ends = {}
+            for rank, i in enumerate(order):
+                ends[i] = (
+                    pairs[order[rank + 1]][1]
+                    if rank + 1 < len(order)
+                    else len(body) - first
+                )
+            for i, (onum, off) in enumerate(pairs):
+                seg = body[first + off : first + ends[i]]
+                try:
+                    toks = _tokens(seg)
+                    if not toks:
+                        continue
+                    val, _ = _parse_value(toks, 0)
+                except (IndexError, ValueError):
+                    continue
+                self.objects.setdefault(onum, (val, None))
 
     def _parse_trailer(self) -> dict:
         # classic trailer dict; 1.5+ files keep a /Root in the xref stream
@@ -408,11 +458,21 @@ def pdf_to_grids(data: bytes) -> list[pd.DataFrame]:
 # -- fixture writer -----------------------------------------------------------
 
 
-def make_grid_pdf(pages: list[list[list[str | None]]], compress: bool = True) -> bytes:
+def make_grid_pdf(
+    pages: list[list[list[str | None]]],
+    compress: bool = True,
+    objstm: bool = False,
+) -> bytes:
     """Minimal well-formed grid PDF (Helvetica, Latin-1, one Tm per cell) —
     the test fixture generator for the extractor above.  Layout mirrors the
     reference's sidecar tables: header row first, one text cell per grid
-    position."""
+    position.
+
+    ``objstm=True`` emits the PDF 1.5+ layout every modern writer produces:
+    all non-stream objects (catalog, page tree, page dicts, font) packed
+    into one Flate-compressed ``/Type /ObjStm`` container, and the trailer
+    replaced by a cross-reference STREAM object carrying ``/Root`` — no
+    classic ``trailer`` keyword anywhere in the file."""
 
     def esc(s: str) -> bytes:
         return (
@@ -457,6 +517,42 @@ def make_grid_pdf(pages: list[list[list[str | None]]], compress: bool = True) ->
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
         b"/Encoding /WinAnsiEncoding >>"
     )
+
+    if objstm:
+        # pack every non-stream object into one ObjStm; streams (page
+        # contents) must stay direct per spec
+        stream_objs = {n: b for n, b in objs.items() if b"stream" in b[:200]}
+        packed = sorted(n for n in objs if n not in stream_objs)
+        bodies = [objs[n].strip() for n in packed]
+        offs, pos = [], 0
+        for b in bodies:
+            offs.append(pos)
+            pos += len(b) + 1
+        header = b" ".join(b"%d %d" % (n, o) for n, o in zip(packed, offs)) + b"\n"
+        payload = zlib.compress(header + b"\n".join(bodies) + b"\n")
+        stm_num = max(objs) + 1
+        xref_num = stm_num + 1
+        direct = dict(stream_objs)
+        direct[stm_num] = (
+            b"<< /Type /ObjStm /N %d /First %d /Length %d /Filter /FlateDecode >>"
+            b"\nstream\n" % (len(packed), len(header), len(payload))
+            + payload
+            + b"\nendstream"
+        )
+        out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+        for num in sorted(direct):
+            out += b"%d 0 obj\n" % num + direct[num] + b"\nendobj\n"
+        xref_at = len(out)
+        # cross-reference STREAM (entries are a stub — this extractor
+        # regex-scans objects and only needs the dict's /Root)
+        xdata = b"\x00" * 4
+        out += (
+            b"%d 0 obj\n<< /Type /XRef /Size %d /Root 1 0 R /W [1 2 1] "
+            b"/Length %d >>\nstream\n" % (xref_num, xref_num + 1, len(xdata))
+            + xdata
+            + b"\nendstream\nendobj\nstartxref\n%d\n%%%%EOF\n" % xref_at
+        )
+        return bytes(out)
 
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = {}

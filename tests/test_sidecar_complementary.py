@@ -333,9 +333,10 @@ def test_pdf_grid_roundtrip_property():
             max_size=3,
         ),
         compress=st.booleans(),
+        objstm=st.booleans(),
     )
-    def check(pages, compress):
-        grids = pdf_to_grids(make_grid_pdf(pages, compress=compress))
+    def check(pages, compress, objstm):
+        grids = pdf_to_grids(make_grid_pdf(pages, compress=compress, objstm=objstm))
         assert len(grids) == len(pages)
         for got, want in zip(grids, pages):
             assert got.values.tolist() == want
@@ -362,6 +363,31 @@ def test_pdf_extractor_honest_limits():
     cells = [[["A (x)", "B\\C"], ["1)", "(2"]]]
     g = pdf_to_grids(make_grid_pdf(cells, compress=False))
     assert g[0].values.tolist() == [["A (x)", "B\\C"], ["1)", "(2"]]
+
+
+def test_pdf_object_stream_layout():
+    """PDF 1.5+ object-stream layout (what every modern writer emits): all
+    dict objects packed into a Flate /ObjStm container and the classic
+    trailer replaced by a cross-reference STREAM carrying /Root.  The
+    extractor expands the container and resolves /Root via the
+    objects-fallback path — same grids as the classic 1.4 layout."""
+    from jurisprudencia_privada_etl_spark.functions.pdftext import (
+        make_grid_pdf,
+        pdf_to_grids,
+    )
+
+    pages = [[["Processo", "Relator"], ["123/20.1", "Maria"]], [["X"], ["9"]]]
+    pdf15 = make_grid_pdf(pages, objstm=True)
+    assert b"trailer" not in pdf15 and b"/ObjStm" in pdf15
+    got = [g.values.tolist() for g in pdf_to_grids(pdf15)]
+    want = [g.values.tolist() for g in pdf_to_grids(make_grid_pdf(pages))]
+    assert got == want
+
+    # executor-side decode path accepts the 1.5 layout too
+    from jurisprudencia_privada_etl_spark.operators.sidecar import decode_sidecar_bytes
+
+    decoded = decode_sidecar_bytes(pdf15)
+    assert [d.values.tolist() for d in decoded] == want
 
 
 def test_pdf_invalid_octal_escape_and_incremental_update():
