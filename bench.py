@@ -39,9 +39,12 @@ def force(df) -> int:
     return df.write.mode("overwrite").format("noop").save() or 0
 
 
-def bench_replay(spark, n_events: int, cpus: int, reps: int = 2) -> dict:
+def bench_replay(spark, n_events: int, cpus: int, reps: int = 3) -> dict:
     """Generate (untimed) → warmup replay (untimed: JIT, python workers,
-    page cache) → ``reps`` timed replays, best kept.  AQE is disabled for
+    page cache) → ``reps`` timed replays, best kept (3: the host's per-core
+    delivery drifts 2-4x on a minutes timescale — see BENCH/BASELINE.md —
+    and a third sample meaningfully tightens the best-of under that noise
+    for ~12s of extra wall).  AQE is disabled for
     the timed section: at sandbox scale its per-stage materialization
     latency dominates the shuffles it would optimize (on a real cluster it
     stays on — see session.py defaults)."""

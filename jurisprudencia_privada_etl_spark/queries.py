@@ -1020,9 +1020,15 @@ def q_minhash_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubled = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 1_000_000))
     # est_margin=0.0 is LOSSLESS at threshold 1.0 (see minhash_dedup) and
     # prunes band-collision candidates before the exact verify; the verify
-    # itself runs Arrow-vectorized over candidate texts only.
+    # itself runs Arrow-vectorized over candidate texts only.  bands=2
+    # (r=16): at threshold 1.0 ANY banding is lossless (identical shingle
+    # sets ⟹ identical signatures ⟹ every band collides), so the widest
+    # bands win — 2 exploded rows/doc instead of 16 and near-zero false
+    # collisions (interleaved A/B at sf0.1: 1.9s vs 2.8s at bands=16,
+    # identical count).  Sub-1.0 thresholds need narrower bands for recall
+    # and stay covered by pytest.
     out = minhash_dedup(
-        doubled, "text", "doc_id", threshold=1.0, num_hashes=32, bands=16,
+        doubled, "text", "doc_id", threshold=1.0, num_hashes=32, bands=2,
         est_margin=0.0, verify_impl="pandas",
     )
     return out.agg(F.count("*").alias("n_docs"))
