@@ -40,6 +40,7 @@ from jurisprudencia_privada_etl_spark.operators.conflicts import conflict_report
 from jurisprudencia_privada_etl_spark.operators.lww import lww_dedup
 from jurisprudencia_privada_etl_spark.operators.multimodal import extract_features, synthetic_assets
 from jurisprudencia_privada_etl_spark.operators.reconcile import missing_keys
+from jurisprudencia_privada_etl_spark.operators.temporal import epoch_seconds
 from jurisprudencia_privada_etl_spark.operators.similarity import (
     _hyperplanes,
     _probe_masks,
@@ -1464,6 +1465,250 @@ FROM changelog
 
 
 # ---------------------------------------------------------------------------
+# temporal family (round 4): as-of join, SCD2 history, sessionization,
+# interval join, KMV distinct sketch.  The CDC engine's time-dimension
+# companions — "what WAS true at each event's own timestamp" instead of
+# sink.py's "what is true now" (see operators/temporal.py module docstring).
+# ---------------------------------------------------------------------------
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each event picks the user's most recent order at
+    or before the event timestamp (here: the latest historical order — the
+    synthetic orders all predate the events, which exercises the unbounded
+    lookback).  Implementation is the union+ordered-window plan in
+    operators/temporal.asof_join — ONE shuffle, no join node; the oracle is
+    the standard-SQL row_number-over-inequality-join formulation."""
+    from jurisprudencia_privada_etl_spark.operators.temporal import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    orders = _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "user_id")
+    out = asof_join(
+        events,
+        orders,
+        on="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_totalprice"],
+        tie_break="o_orderkey",
+        how="left",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        epoch_seconds(F.col("_asof_ts")).alias("asof_epoch"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH j AS (
+    SELECT e.event_id, e.user_id,
+           CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS asof_epoch,
+           o.o_orderkey, o.o_totalprice,
+           row_number() OVER (PARTITION BY e.event_id
+                              ORDER BY o.o_orderdate DESC NULLS LAST,
+                                       o.o_orderkey DESC NULLS LAST) AS rn
+    FROM events e
+    LEFT JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+)
+SELECT event_id, user_id, asof_epoch, o_orderkey, o_totalprice FROM j WHERE rn = 1
+"""
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD build: each customer's orders become contiguous validity
+    intervals (valid_from/valid_to half-open, version_no, is_current) via
+    one lead() window — operators/temporal.scd2_build.  o_orderkey breaks
+    (o_custkey, o_orderdate) ties (32 collisions at sf0.01)."""
+    from jurisprudencia_privada_etl_spark.operators.temporal import scd2_build
+
+    orders = _t(spark, sf_dir, "orders")
+    hist = scd2_build(
+        orders,
+        key="o_custkey",
+        ts="o_orderdate",
+        attrs=["o_orderkey", "o_totalprice"],
+        tie_break="o_orderkey",
+    )
+    return hist.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        epoch_seconds(F.col("valid_from")).alias("valid_from_epoch"),
+        epoch_seconds(F.col("valid_to")).alias("valid_to_epoch"),
+        "version_no",
+        "is_current",
+    )
+
+
+SQL_SCD2_HISTORY = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS valid_from_epoch,
+       CAST(floor(epoch(lead(o_orderdate) OVER w)) AS BIGINT) AS valid_to_epoch,
+       CAST(row_number() OVER w AS INT) AS version_no,
+       lead(o_orderdate) OVER w IS NULL AS is_current
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+"""
+
+
+#: gap for the sessionization queries — 30 min splits the synthetic event
+#: stream well below its median per-user inter-event gap (~7.3h at sf0.01),
+#: yielding many multi-event sessions without degenerating to one-per-event.
+SESSION_GAP_S = 1800
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (operators/temporal.sessionize): per-event
+    session assignment via lag → boundary flag → running sum in one window,
+    then rolled up to one row per session."""
+    from jurisprudencia_privada_etl_spark.operators.temporal import sessionize
+
+    events = _t(spark, sf_dir, "events")
+    sess = sessionize(events, key="user_id", ts="ts", gap_seconds=SESSION_GAP_S)
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min(epoch_seconds(F.col("ts"))).alias("sess_start_epoch"),
+        F.max(epoch_seconds(F.col("ts"))).alias("sess_end_epoch"),
+        F.count_distinct("event_type").alias("n_event_types"),
+    )
+
+
+SQL_SESSIONIZE = f"""
+WITH flagged AS (
+    SELECT user_id, ts, event_type,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > {SESSION_GAP_S}
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+),
+sess AS (
+    SELECT user_id, ts, event_type,
+           CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+    FROM flagged
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+       min(CAST(floor(epoch(ts)) AS BIGINT)) AS sess_start_epoch,
+       max(CAST(floor(epoch(ts)) AS BIGINT)) AS sess_end_epoch,
+       count(DISTINCT event_type) AS n_event_types
+FROM sess GROUP BY user_id, session_seq
+"""
+
+
+def q_session_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join composed over sessionization: purchase events
+    are attributed to the session interval [start, end] they fall into.
+    operators/temporal.interval_join explodes each interval into hour-wide
+    time buckets and equi-joins on (user, bucket) — the bounded-fan-out
+    scale path — while the oracle runs the naive BETWEEN theta join;
+    identical results prove the bucketing loses/duplicates nothing.
+    Sessions of one user are disjoint, so attribution is unique."""
+    from jurisprudencia_privada_etl_spark.operators.temporal import interval_join, sessionize
+
+    events = _t(spark, sf_dir, "events")
+    sess = sessionize(events, key="user_id", ts="ts", gap_seconds=SESSION_GAP_S)
+    intervals = sess.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    att = interval_join(
+        purchases,
+        intervals,
+        on="user_id",
+        left_ts="ts",
+        right_start="s_start",
+        right_end="s_end",
+        bucket_seconds=3600,
+        how="inner",
+    )
+    return att.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_purchases"),
+        F.min("event_id").alias("first_purchase_id"),
+    )
+
+
+SQL_SESSION_ATTRIBUTION = f"""
+WITH flagged AS (
+    SELECT user_id, ts, event_type, event_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > {SESSION_GAP_S}
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+),
+sess AS (
+    SELECT user_id, ts, event_id,
+           CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+    FROM flagged
+),
+intervals AS (
+    SELECT user_id, session_seq, min(ts) AS s_start, max(ts) AS s_end
+    FROM sess GROUP BY user_id, session_seq
+),
+purchases AS (
+    SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+)
+SELECT i.user_id, i.session_seq, count(*) AS n_purchases,
+       min(p.event_id) AS first_purchase_id
+FROM purchases p
+JOIN intervals i
+  ON i.user_id = p.user_id AND p.ts BETWEEN i.s_start AND i.s_end
+GROUP BY i.user_id, i.session_seq
+"""
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (operators/sketches.kmv_distinct): per
+    return flag, estimate distinct part keys from the 256 minimum values of
+    a deterministic multiplicative hash — pure integer arithmetic, so the
+    DuckDB oracle reproduces the estimate BIT-FOR-BIT (the reason this
+    engine ships KMV alongside Spark's unpinnable HLL++); the exact
+    distinct count rides along for the error comparison."""
+    from jurisprudencia_privada_etl_spark.operators.sketches import (
+        POLY_DOMAIN,
+        kmv_distinct,
+        kmv_hash_poly,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    sk = kmv_distinct(
+        li, ["l_returnflag"], kmv_hash_poly(F.col("l_partkey")), k=256, domain=POLY_DOMAIN
+    )
+    exact = li.groupBy("l_returnflag").agg(F.count_distinct("l_partkey").alias("exact_distinct"))
+    return sk.join(exact, "l_returnflag")
+
+
+SQL_KMV_DISTINCT = """
+WITH h AS (
+    SELECT DISTINCT l_returnflag, (l_partkey * 1000003) % 4294967296 AS hh FROM lineitem
+),
+r AS (
+    SELECT l_returnflag, hh,
+           row_number() OVER (PARTITION BY l_returnflag ORDER BY hh ASC) AS rn
+    FROM h
+),
+s AS (
+    SELECT l_returnflag, count(*) AS n_kept, max(hh) AS kth_hash
+    FROM r WHERE rn <= 256 GROUP BY l_returnflag
+),
+e AS (
+    SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_distinct
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT s.l_returnflag, s.n_kept, s.kth_hash,
+       CASE WHEN s.n_kept < 256 THEN s.n_kept
+            ELSE (255 * 4294967296) // s.kth_hash END AS distinct_est,
+       e.exact_distinct
+FROM s JOIN e USING (l_returnflag)
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1515,6 +1760,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # table-maintenance / CDC-interchange family (round 3):
     "change_data_feed": q_change_data_feed,
     "debezium_parse": q_debezium_parse,
+    # temporal / sketch family (round 4):
+    "asof_join": q_asof_join,
+    "scd2_history": q_scd2_history,
+    "sessionize": q_sessionize,
+    "session_attribution": q_session_attribution,
+    "kmv_distinct": q_kmv_distinct,
 }
 
 ORACLES: dict[str, str] = {
@@ -1562,4 +1813,9 @@ ORACLES: dict[str, str] = {
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "change_data_feed": SQL_CHANGE_DATA_FEED,
     "debezium_parse": SQL_DEBEZIUM_PARSE,
+    "asof_join": SQL_ASOF_JOIN,
+    "scd2_history": SQL_SCD2_HISTORY,
+    "sessionize": SQL_SESSIONIZE,
+    "session_attribution": SQL_SESSION_ATTRIBUTION,
+    "kmv_distinct": SQL_KMV_DISTINCT,
 }
