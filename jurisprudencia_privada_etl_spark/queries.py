@@ -1662,6 +1662,87 @@ GROUP BY i.user_id, i.session_seq
 """
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (operators/packing.pack_sequences):
+    documents are concatenated per shard in doc_id order and cut into
+    512-token sequences; each doc is assigned the sequence its first
+    token lands in.  Pure prefix-sum arithmetic — the oracle reproduces
+    it with the same window SQL."""
+    from jurisprudencia_privada_etl_spark.operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", token_count("text").cast("long").alias("n_tokens"))
+    return pack_sequences(
+        toks, token_col="n_tokens", order_col="doc_id",
+        shard=F.pmod(F.col("doc_id"), F.lit(4)), max_tokens=512,
+    ).select("doc_id", "shard", "n_tokens", "seq_id", "seq_offset")
+
+
+SQL_PACK_SEQUENCES = """
+WITH t AS (
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT)
+               AS n_tokens,
+           doc_id % 4 AS shard
+    FROM documents
+)
+SELECT doc_id, shard, n_tokens,
+       CAST((sum(n_tokens) OVER w - n_tokens) // 512 AS BIGINT) AS seq_id,
+       CAST((sum(n_tokens) OVER w - n_tokens) % 512 AS BIGINT) AS seq_offset
+FROM t
+WINDOW w AS (PARTITION BY shard ORDER BY doc_id ASC ROWS UNBOUNDED PRECEDING)
+"""
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering: shingle-overlap pairs (the
+    `ngram_jaccard` edge set) closed into connected components
+    (operators/graph.connected_components — iterative min-label
+    propagation, localCheckpoint-truncated lineage), every document
+    labeled with its cluster's min doc_id, singletons labeling
+    themselves.  The oracle computes the same closure with a recursive
+    CTE — min-id labeling is algorithm-independent, so the two must agree
+    exactly."""
+    from jurisprudencia_privada_etl_spark.operators.graph import attach_components
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 80)
+    pairs = (
+        ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.0)
+        .where(F.col("jaccard") > 0)
+        .select("id_a", "id_b")
+    )
+    return attach_components(d.select("doc_id"), pairs, "doc_id").select("doc_id", "component")
+
+
+SQL_DEDUP_CLUSTERS = """
+WITH RECURSIVE d AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+           FROM documents WHERE doc_id < 80),
+sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               range(1, greatest(len(toks) - 1, 1) + CASE WHEN len(toks) >= 3 THEN 0 ELSE 1 END),
+               i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS s
+    FROM d
+),
+pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+edges AS (
+    SELECT id_a AS s, id_b AS t FROM pairs
+    UNION
+    SELECT id_b AS s, id_a AS t FROM pairs
+),
+reach(node, r) AS (
+    SELECT doc_id, doc_id FROM (SELECT DISTINCT doc_id FROM d)
+    UNION
+    SELECT e.t, reach.r FROM reach JOIN edges e ON e.s = reach.node
+)
+SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node
+"""
+
+
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-count sketch (operators/sketches.kmv_distinct): per
     return flag, estimate distinct part keys from the 256 minimum values of
@@ -1766,6 +1847,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "session_attribution": q_session_attribution,
     "kmv_distinct": q_kmv_distinct,
+    "dedup_clusters": q_dedup_clusters,
+    "pack_sequences": q_pack_sequences,
 }
 
 ORACLES: dict[str, str] = {
@@ -1818,4 +1901,6 @@ ORACLES: dict[str, str] = {
     "sessionize": SQL_SESSIONIZE,
     "session_attribution": SQL_SESSION_ATTRIBUTION,
     "kmv_distinct": SQL_KMV_DISTINCT,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "pack_sequences": SQL_PACK_SEQUENCES,
 }

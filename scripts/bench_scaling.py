@@ -272,10 +272,18 @@ def _render(n_events, rounds, reps, pair_rounds) -> str:
 
     headline_idx = min(range(len(per_round)), key=_calib_dirt)
     best = per_round[headline_idx]
-    med_full = _median([r["eff_full"] for r in per_round])
-    med_marg = _median([r["eff_marginal"] for r in per_round])
-    med_core = _median([r["eff_core"] for r in per_round])
-    med_hw = _median([r["hw"] for r in per_round])
+    # Medians span the rounds that pass the SAME physical gate the
+    # headline picker uses (dirt < 1.0 ⇔ no impossible per-core ceiling,
+    # bounded bracket spread) — a median that mixes in rounds whose
+    # local[8] window was demonstrably stolen measures the neighbor VM,
+    # not this engine.  Every round stays visible in the per-round and
+    # raw-data tables.  Falls back to all rounds if none pass.
+    plausible = [i for i in range(len(per_round)) if _calib_dirt(i) < 1.0]
+    med_rounds = [per_round[i] for i in plausible] or per_round
+    med_full = _median([r["eff_full"] for r in med_rounds])
+    med_marg = _median([r["eff_marginal"] for r in med_rounds])
+    med_core = _median([r["eff_core"] for r in med_rounds])
+    med_hw = _median([r["hw"] for r in med_rounds])
 
     lines = [
         "# BENCH/BASELINE — measured throughput + two-cluster-size scaling",
@@ -295,9 +303,13 @@ def _render(n_events, rounds, reps, pair_rounds) -> str:
         "",
         f"Headline cells render from round {headline_idx} — the round with the",
         "steadiest GIL-free calibration brackets (cleanest host window), NOT",
-        "the fastest round; medians still span all rounds.",
+        f"the fastest round; medians span the {len(med_rounds)} round(s) of",
+        f"{len(per_round)} that pass the same physical calibration gate",
+        f"(rounds {plausible if plausible else 'none — fallback: all'}; gate-failed",
+        "rounds measured a neighbor VM stealing the window and remain in the",
+        "per-round + raw tables below).",
         "",
-        "| metric (median across rounds) | local[8] | local[32] | 8→32 efficiency |",
+        "| metric (median across gate-passing rounds) | local[8] | local[32] | 8→32 efficiency |",
         "|---|---|---|---|",
         f"| full CDC replay, {n_events/1e6:.0f}M events (round {headline_idx}) | {best['b8f']:.1f}s "
         f"({n_events/best['b8f']:,.0f} ev/s) | {best['b32f']:.1f}s ({n_events/best['b32f']:,.0f} ev/s) "
@@ -319,7 +331,9 @@ def _render(n_events, rounds, reps, pair_rounds) -> str:
         "|---|---|---|---|---|---|---|---|",
     ]
     for i, r in enumerate(per_round):
-        tag = " (headline)" if i == headline_idx else ""
+        tag = " (headline)" if i == headline_idx else (
+            "" if i in plausible else " (gate-failed)"
+        )
         lines.append(
             f"| {i}{tag} | {r['f8']:.1f}s | {r['f32']:.1f}s | {r['w8']*1e6:.2f} | "
             f"{r['w32']*1e6:.2f} | {r['eff_full']:.2f} | {r['eff_marginal']:.2f} | {r['hw']:.2f} |"
