@@ -171,6 +171,25 @@ def test_interval_join_bucket_width_invariance(spark, bucket_s):
     assert [(r["pid"], r["iid"]) for r in out.collect()] == [(1, 10)]
 
 
+def test_interval_join_plans_equi_join_not_nested_loop(spark):
+    """The bucketing must turn the range predicate into an equi-join —
+    a BroadcastNestedLoopJoin in the plan means the scale path failed."""
+    points = spark.createDataFrame(
+        [("k", _ts("2024-01-01T12:00:00"), 1)], "k string, pts timestamp, pid int"
+    )
+    ivals = spark.createDataFrame(
+        [("k", _ts("2024-01-01T00:00:00"), _ts("2024-02-01T00:00:00"), 10)],
+        "k string, s timestamp, e timestamp, iid int",
+    )
+    out = interval_join(
+        points, ivals, on="k", left_ts="pts", right_start="s", right_end="e",
+        bucket_seconds=86_400,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_interval_join_left_keeps_unmatched(spark):
     points = spark.createDataFrame(
         [("k", _ts("2024-01-01T12:00:00"), 1), ("k", _ts("2025-01-01T00:00:00"), 2)],
