@@ -60,6 +60,9 @@ spark = get_spark("replica-%s" % tag, master="local[%d]" % cpus, extra_conf={{
     "spark.sql.adaptive.enabled": "false",
     "spark.local.dir": shm + "/tmp",
     "spark.ui.enabled": "false",
+    # a transient Arrow-worker crash killed a phase once; with the
+    # faulthandler on, any repeat leaves a python traceback in the .err
+    "spark.python.worker.faulthandler.enabled": "true",
 }})
 spark.sparkContext.setLogLevel("ERROR")
 CFG = lambda: ReplayConfig(n_buckets=128)

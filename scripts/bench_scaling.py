@@ -67,6 +67,8 @@ spark = get_spark("scaling-%d" % cpus, master="local[%d]" % cpus, extra_conf={{
     # shuffle + sink IO on tmpfs: the sandbox has ONE fixed local disk,
     # which a real cluster does not — RAM-backed IO is the fair stand-in
     "spark.local.dir": shm + "/sparktmp",
+    # leave a python traceback behind if an Arrow worker ever crashes
+    "spark.python.worker.faulthandler.enabled": "true",
 }})
 spark.sparkContext.setLogLevel("ERROR")
 
