@@ -224,6 +224,27 @@ def test_interval_inclusive_endpoints(spark):
     assert sorted(r["pid"] for r in out.collect()) == [1, 2]
 
 
+def test_asof_equals_scd2_between_lookup(spark, quotes, trades):
+    """The documented equivalence (temporal.py module docstring): as-of
+    joining a fact stream against versioned rows gives the same answer as
+    a BETWEEN [valid_from, valid_to) lookup against the SCD2 build of
+    those rows."""
+    asof = asof_join(
+        trades, quotes, on="k", left_ts="tts", right_ts="qts",
+        right_cols=["px"], tie_break="seq", how="inner",
+    ).select("trade_id", "px")
+    hist = scd2_build(quotes, key="k", ts="qts", attrs=["px"], tie_break="seq")
+    via_scd2 = (
+        trades.join(hist, on="k")
+        .where(
+            (F.col("tts") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("tts") < F.col("valid_to")))
+        )
+        .select("trade_id", "px")
+    )
+    assert sorted(asof.collect()) == sorted(via_scd2.collect())
+
+
 # ---------------------------------------------------------------------------
 # KMV sketches
 # ---------------------------------------------------------------------------
