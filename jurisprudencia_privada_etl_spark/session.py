@@ -27,8 +27,41 @@ _DEFAULTS = {
     # Parquet scans: vectorized reader + filter pushdown are on by default in
     # Spark 4.x; kept explicit because the bench relies on them.
     "spark.sql.parquet.filterPushdown": "true",
+    # zstd over the default snappy: interleaved A/B on the 4M-event replay
+    # measured ~equal wall time with 39% fewer output bytes (635 MB vs
+    # 1049 MB) — at 100 TB that is 39% less IO on every sink write, bucket
+    # rescan, change feed, and snapshot read.
+    "spark.sql.parquet.compression.codec": "zstd",
     "spark.ui.enabled": "false",
 }
+
+
+# Confs that cannot be changed after the JVM starts; apply_runtime_defaults
+# must not touch them on a live session.
+_STATIC_KEYS = {"spark.driver.memory", "spark.ui.enabled"}
+
+
+def apply_runtime_defaults(spark: SparkSession) -> None:
+    """Apply ``_DEFAULTS``' runtime-settable confs to an existing session.
+
+    For entrypoints that build a bare session (scripts/run_replay.py under
+    spark-submit), this backfills the engine's tuned defaults WITHOUT
+    overriding anything the operator set explicitly — confs passed via
+    ``spark-submit --conf`` / SparkConf land in ``sparkContext.getConf()``
+    and are skipped, so cluster overrides always win.
+
+    ``spark.sql.shuffle.partitions`` is cluster-size-dependent and is only
+    defaulted on local masters; on a real cluster it must come from the
+    submit command (or be left to AQE coalescing from Spark's default).
+    """
+    explicit = spark.sparkContext.getConf()
+    local = explicit.get("spark.master", "").startswith("local")
+    for k, v in _DEFAULTS.items():
+        if k in _STATIC_KEYS or explicit.contains(k):
+            continue
+        if k == "spark.sql.shuffle.partitions" and not local:
+            continue
+        spark.conf.set(k, v)
 
 
 def get_spark(

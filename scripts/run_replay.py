@@ -52,6 +52,11 @@ def main() -> None:
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("cdc-replay").getOrCreate()
+    from jurisprudencia_privada_etl_spark.session import apply_runtime_defaults
+
+    # Backfill tuned runtime defaults (AQE, Arrow, zstd parquet, ...) without
+    # overriding any spark-submit --conf the operator passed.
+    apply_runtime_defaults(spark)
     from jurisprudencia_privada_etl_spark.plans.replay import ReplayConfig, replay
     from jurisprudencia_privada_etl_spark.plans.sink import HadoopParquetSink
 
