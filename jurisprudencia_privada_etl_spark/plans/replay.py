@@ -54,6 +54,11 @@ class ReplayConfig:
     # "agg": union → groupBy(key).max_by — map-side partial agg, 2 shuffles.
     # "join": textbook full-outer-join MERGE (kept for parity testing).
     merge_strategy: str = "window"
+    # "cow": each epoch rewrites its touched buckets (reads stay plain
+    # scans).  "mor": each epoch appends per-bucket delta files — write
+    # amplification O(epoch events); reads resolve base+deltas until
+    # sink.compact() folds them.  See HadoopParquetSink.__init__.
+    write_mode: str = "cow"
     # validate each batch (non-null keys/ordinal, known op); invalid rows go
     # to <table>/_dead_letter/epoch=N instead of failing the job (F10 —
     # the reference's update.file_errors side-channel, sharepoint.ts:392-396)
@@ -205,6 +210,7 @@ def replay(
     sink = HadoopParquetSink(
         spark, table_path, n_buckets=cfg.n_buckets,
         merge_strategy=cfg.merge_strategy, files_per_bucket=cfg.files_per_bucket,
+        write_mode=cfg.write_mode,
     )
     if not sink.exists():
         sink.create(TableSchema.from_struct(TARGET_SCHEMA))
@@ -260,6 +266,7 @@ def replay_dataframe(
     sink = HadoopParquetSink(
         spark, table_path, n_buckets=cfg.n_buckets,
         merge_strategy=cfg.merge_strategy, files_per_bucket=cfg.files_per_bucket,
+        write_mode=cfg.write_mode,
     )
     if not sink.exists():
         sink.create(TableSchema.from_struct(TARGET_SCHEMA))

@@ -107,11 +107,23 @@ class HadoopParquetSink:
         n_buckets: int = 64,
         merge_strategy: str = "window",  # "window" (1-shuffle bucket window) | "agg" (union+max_by) | "join" (full outer)
         files_per_bucket: int = 1,
+        write_mode: str = "cow",  # "cow" (copy-on-write) | "mor" (merge-on-read deltas)
     ):
         self.spark = spark
         self.table_path = table_path
         self.n_buckets = n_buckets
         self.merge_strategy = merge_strategy
+        # "cow": each merge rewrites every touched bucket in full (reads are
+        # plain scans; time travel and change feeds are pure metadata).
+        # "mor": each merge APPENDS the epoch's winning rows as per-bucket
+        # delta files — write amplification O(epoch events) instead of
+        # O(touched-bucket bytes); reads resolve base+deltas with a per-key
+        # LWW window until compact() folds the deltas back into the base.
+        # At 10^10 events with Zipf-hot repos nearly every bucket is touched
+        # every epoch, so CoW rewrites ~the whole table's `content` payload
+        # per epoch; MoR is the write-heavy-CDC trade Iceberg v2 format
+        # deletes / Hudi MoR tables make, re-expressed on the manifest.
+        self.write_mode = write_mode
         # The merge's single shuffle hash-partitions len(touched) distinct
         # bucket values into len(touched) partitions — a balls-into-bins
         # layout whose max load is ~3-4 buckets (and ~37% empty tasks), so
@@ -220,8 +232,9 @@ class HadoopParquetSink:
 
     # -- reads ----------------------------------------------------------------
 
-    def _empty(self, schema: TableSchema) -> DataFrame:
-        fields = list(schema.to_struct().fields) + [
+    def _empty(self, schema: TableSchema, keep: list | None = None) -> DataFrame:
+        cols = keep if keep is not None else schema.columns
+        fields = [T.StructField(c.name, T._parse_datatype_string(c.dtype), True) for c in cols] + [
             T.StructField(n, T._parse_datatype_string(t), True) for n, t in BOOKKEEPING
         ] + [T.StructField(BUCKET_COLUMN, T.IntegerType(), True)]
         return self.spark.createDataFrame([], T.StructType(fields))
@@ -231,6 +244,7 @@ class HadoopParquetSink:
         buckets: list[int] | None = None,
         include_tombstones: bool = False,
         version: int | None = None,
+        columns: list[str] | None = None,
     ) -> DataFrame:
         """Snapshot read, aligned to the snapshot's schema.
 
@@ -246,6 +260,19 @@ class HadoopParquetSink:
         ``expire_snapshots`` reclaims them), so reading as-of any retained
         version is a pure metadata swap — no data rewrite, no extra IO
         beyond the old snapshot's own files.
+
+        ``columns`` projects the payload down to the named columns (keys,
+        bookkeeping and the bucket id are always kept; ``[]`` = keys +
+        bookkeeping only).  Pushing the projection down HERE matters for
+        merge-on-read buckets: their per-key LWW resolution window would
+        otherwise carry every payload byte through its shuffle.
+
+        Buckets written in ``write_mode="mor"`` carry delta file sets on
+        top of their base; this read resolves them with one row_number
+        window per key ordered by (ordinal DESC, writing-version ASC) —
+        highest ordinal wins, ordinal ties go to the EARLIEST snapshot,
+        matching the merge strategies' strict ``u.ordinal > t.ordinal``
+        guard.  Buckets without deltas skip the window entirely.
         """
         m = self.manifest(version)
         cur = m.schema
@@ -253,30 +280,69 @@ class HadoopParquetSink:
         if buckets is not None:
             keys = {str(b) for b in buckets}
             wanted = {k: v for k, v in m.buckets.items() if k in keys}
+        keep = [
+            c for c in cur.columns
+            if columns is None or c.name in columns or c.name in KEY_COLUMNS
+        ]
         if not wanted:
-            return self._empty(cur)
+            return self._empty(cur, keep)
 
-        # group bucket dirs by the schema version that wrote them
-        by_version: dict[int, list[str]] = {}
-        for _, entry in wanted.items():
-            by_version.setdefault(entry["schema_version"], []).append(
-                os.path.join(self.table_path, entry["path"])
-            )
+        # read units: (relative dir, writing manifest version).  The writing
+        # version doubles as the schema version for column-id mapping and as
+        # the arrival sequence for delta resolution.
+        plain_units: list[tuple[str, int]] = []
+        delta_units: list[tuple[str, int]] = []
+        for entry in wanted.values():
+            ds = entry.get("deltas") or []
+            if ds:
+                delta_units.append((entry["path"], entry["schema_version"]))
+                delta_units.extend((d["path"], d["schema_version"]) for d in ds)
+            else:
+                plain_units.append((entry["path"], entry["schema_version"]))
+
+        def read_units(units: list[tuple[str, int]], with_seq: bool) -> DataFrame:
+            # group dirs by the version that wrote them (one data/v{N} parent
+            # per version, one schema mapping per group)
+            by_version: dict[int, list[str]] = {}
+            for path, sv in units:
+                by_version.setdefault(sv, []).append(os.path.join(self.table_path, path))
+            parts: list[DataFrame] = []
+            for sv, dirs in by_version.items():
+                written = mf.load(self.table_path, sv).schema
+                base = os.path.dirname(dirs[0])  # .../data/v{N}
+                df = self.spark.read.option("basePath", base).parquet(*sorted(dirs))
+                old_by_id = {c.col_id: c for c in written.columns}
+                cols = []
+                for c in keep:
+                    if c.col_id in old_by_id:
+                        cols.append(F.col(old_by_id[c.col_id].name).alias(c.name))
+                    else:
+                        cols.append(F.lit(None).cast(c.dtype).alias(c.name))
+                cols += [F.col(n) for n, _ in BOOKKEEPING]
+                cols.append(F.col(BUCKET_COLUMN).cast("int"))
+                if with_seq:
+                    cols.append(F.lit(sv).alias("_seq"))
+                parts.append(df.select(*cols))
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
+
         parts: list[DataFrame] = []
-        for sv, dirs in by_version.items():
-            written = mf.load(self.table_path, sv).schema
-            base = os.path.dirname(dirs[0])  # .../data/v{N}
-            df = self.spark.read.option("basePath", base).parquet(*sorted(dirs))
-            old_by_id = {c.col_id: c for c in written.columns}
-            cols = []
-            for c in cur.columns:
-                if c.col_id in old_by_id:
-                    cols.append(F.col(old_by_id[c.col_id].name).alias(c.name))
-                else:
-                    cols.append(F.lit(None).cast(c.dtype).alias(c.name))
-            cols += [F.col(n) for n, _ in BOOKKEEPING]
-            cols.append(F.col(BUCKET_COLUMN).cast("int"))
-            parts.append(df.select(*cols))
+        if plain_units:
+            parts.append(read_units(plain_units, with_seq=False))
+        if delta_units:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(BUCKET_COLUMN, *KEY_COLUMNS).orderBy(
+                F.col("ordinal").desc(), F.col("_seq").asc()
+            )
+            parts.append(
+                read_units(delta_units, with_seq=True)
+                .withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn", "_seq")
+            )
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -519,6 +585,12 @@ class HadoopParquetSink:
         if touched is None:
             touched, lineage = self.key_stats(updates)
         t = _trace("key stats", t)
+
+        if self.write_mode == "mor":
+            return self._merge_mor(
+                u, epoch, m, touched, lineage, extra_metrics, extra_metrics_fn
+            )
+
         target = self.load(buckets=touched, include_tombstones=True)
 
         if self.merge_strategy == "join":
@@ -610,6 +682,167 @@ class HadoopParquetSink:
         )
         return metrics
 
+
+    def _merge_mor(
+        self,
+        u: DataFrame,
+        epoch: int,
+        m: "mf.Manifest",
+        touched: list[int],
+        lineage: list[dict[str, Any]] | None,
+        extra_metrics: dict[str, Any] | None,
+        extra_metrics_fn: Any | None,
+    ) -> dict[str, Any]:
+        """MERGE as an appended per-bucket delta (merge-on-read).
+
+        Writes ONLY the epoch's winning rows — one delta file set per
+        touched bucket — and never rewrites untouched rows: write
+        amplification is O(epoch events), not O(touched-bucket bytes).
+        ``load`` resolves base+deltas per key (LWW window) until
+        ``compact()`` folds the deltas back into a single base.  Same
+        trade as Iceberg v2 format deletes / Hudi MoR tables.
+
+        Metric parity with the copy-on-write strategies
+        (created/updated/deleted/kept) comes from joining the epoch's keys
+        against a COLUMN-PRUNED read of the touched buckets — (keys,
+        ordinal, deleted) only, the payload bytes are never read — so the
+        classification scan costs a few percent of a CoW merge.  Rows that
+        LOSE to the current state (stale out-of-order events) are dropped
+        before the delta is written: read-side resolution never sees them
+        and the delta stays minimal.
+
+        Exactly-once is the same manifest mechanism as CoW: the delta dir
+        is data/v{N}, the manifest publish is atomic, and a crash before
+        publish leaves an orphan dir and an unchanged table.
+        """
+        new_version = m.version + 1
+        t = time.time()
+
+        # The fused CoW strategies receive RAW events and dedupe inside
+        # their merge shuffle; MoR needs one row per key BEFORE the delta
+        # is written (a delta is a resolved per-key set).  max_by gets
+        # map-side partial aggregation, so a hot key pre-reduces inside
+        # each map task — the same skew story as the "agg" strategy —
+        # and the classification join below reuses the same key hash.
+        others = [c for c in u.columns if c not in KEY_COLUMNS]
+        u = (
+            u.groupBy(*KEY_COLUMNS)
+            .agg(F.max_by(F.struct(*others), F.col("ordinal")).alias("_w"))
+            .select(*KEY_COLUMNS, *[F.col(f"_w.{c}").alias(c) for c in others])
+        )
+
+        # current resolved state of the touched buckets, keys+bookkeeping
+        # only (columns=[] prunes the payload before any delta-resolution
+        # window).  Observation counts the target rows flowing into the
+        # join so `kept` needs no second scan.
+        obs_t = Observation(f"mor_target_{epoch}")
+        target = (
+            self.load(buckets=touched, include_tombstones=True, columns=[])
+            .observe(obs_t, F.count(F.lit(1)).alias("rows"))
+            .select(
+                *[F.col(k).alias(f"t_{k}") for k in KEY_COLUMNS],
+                F.col("ordinal").alias("t_ordinal"),
+                F.col("deleted").alias("t_deleted"),
+            )
+        )
+        cond = [F.col(k).eqNullSafe(F.col(f"t_{k}")) for k in KEY_COLUMNS]
+        j = u.join(target, cond, "left")
+        t_present = F.col("t_ordinal").isNotNull()
+        t_live = t_present & ~F.coalesce(F.col("t_deleted"), F.lit(False))
+        wins = ~t_present | (F.col("ordinal") > F.col("t_ordinal"))
+        is_del = F.coalesce(F.col("deleted"), F.lit(False))
+        action = (
+            F.when(is_del & t_live, F.lit("deleted"))
+            .when(is_del, F.lit("tombstone_noop"))
+            .when(t_live, F.lit("updated"))
+            .otherwise(F.lit("created"))
+        )
+        delta_raw = j.where(wins).select(
+            *u.columns, action.alias("_action"), t_present.cast("int").alias("_matched")
+        )
+
+        obs = Observation(f"mor_epoch_{epoch}")
+        out = delta_raw.observe(
+            obs,
+            F.count(F.when(F.col("_action") == "created", 1)).alias("created"),
+            F.count(F.when(F.col("_action") == "updated", 1)).alias("updated"),
+            F.count(F.when(F.col("_action") == "deleted", 1)).alias("deleted"),
+            F.count(F.when(F.col("_matched") == 1, 1)).alias("matched_wins"),
+        ).drop("_action", "_matched", "op")
+
+        data_rel = os.path.join("data", f"v{new_version:08d}")
+        data_dir = os.path.join(self.table_path, data_rel)
+        (
+            out.repartition(max(1, len(touched)), BUCKET_COLUMN)
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COLUMN)
+            .parquet(data_dir)
+        )
+        t = _trace("mor delta write", t)
+        try:
+            counts = obs.get
+            t_rows = obs_t.get["rows"]
+        except Exception:
+            # empty-delta plan collapse (every event stale): the
+            # CollectMetrics nodes never execute — recompute both with
+            # small explicit jobs (classification side is column-pruned).
+            counts = {
+                r["_action"]: r["n"]
+                for r in delta_raw.groupBy("_action").agg(F.count("*").alias("n")).collect()
+            }
+            counts["matched_wins"] = delta_raw.where(F.col("_matched") == 1).count()
+            t_rows = self.load(
+                buckets=touched, include_tombstones=True, columns=[]
+            ).count()
+
+        live_buckets = {
+            int(name.split("=", 1)[1])
+            for name in os.listdir(data_dir)
+            if name.startswith(f"{BUCKET_COLUMN}=")
+        }
+        buckets = dict(m.buckets)
+        for b in sorted(live_buckets):
+            rel = os.path.join(data_rel, f"{BUCKET_COLUMN}={b}")
+            ref = {"path": rel, "schema_version": new_version}
+            old = buckets.get(str(b))
+            if old is None:
+                # first write of this bucket: a single epoch's winners are
+                # already one row per key — a valid base, no delta needed
+                buckets[str(b)] = ref
+            else:
+                entry = dict(old)
+                entry["deltas"] = list(old.get("deltas") or []) + [ref]
+                buckets[str(b)] = entry
+
+        metrics = {
+            "epoch": epoch,
+            "created": counts.get("created", 0),
+            "updated": counts.get("updated", 0),
+            "deleted": counts.get("deleted", 0),
+            "kept": t_rows - counts.get("matched_wins", 0),
+            "mor_delta": True,
+            "partitions": lineage,
+            **(extra_metrics or {}),
+        }
+        if extra_metrics_fn is not None:
+            metrics.update(extra_metrics_fn() or {})
+
+        if self.crash_before_publish:
+            raise RuntimeError("injected crash: data written, manifest NOT published")
+
+        mf.publish(
+            self.table_path,
+            mf.Manifest(
+                version=new_version,
+                last_committed_epoch=epoch,
+                schema=m.schema,
+                buckets=buckets,
+                n_buckets=m.n_buckets,
+                metrics=metrics,
+                parent_version=m.version,
+            ),
+        )
+        return metrics
 
     def vacuum(self, retain_after_ordinal: int) -> dict:
         """Garbage-collect tombstones with ordinal < ``retain_after_ordinal``.
@@ -749,15 +982,26 @@ class HadoopParquetSink:
         forward by reference — data content is bit-identical (pure layout
         change, asserted by test), ``last_committed_epoch`` unchanged, so
         compaction can run concurrently-safe between epochs at any time.
+
+        Merge-on-read buckets (``write_mode="mor"``) are ALWAYS folded:
+        their base+delta sets resolve through ``load`` and rewrite as a
+        plain single base, clearing the delta refs — the logical rows are
+        unchanged (asserted by test) but readers stop paying the per-key
+        resolution window.  This is the Hudi compactor's role.
         """
         m = self.manifest()
         affected: list[int] = []
         for b, entry in m.buckets.items():
-            d = os.path.join(self.table_path, entry["path"])
+            dirs = [entry["path"], *(d["path"] for d in entry.get("deltas") or [])]
             n_files = sum(
-                1 for f in os.listdir(d) if f.startswith("part-") and f.endswith(".parquet")
+                1
+                for rel in dirs
+                for f in os.listdir(os.path.join(self.table_path, rel))
+                if f.startswith("part-") and f.endswith(".parquet")
             )
-            if n_files > max(min_files, target_files_per_bucket):
+            # merge-on-read buckets ALWAYS fold: compaction is what pays
+            # down their read-side resolution window
+            if entry.get("deltas") or n_files > max(min_files, target_files_per_bucket):
                 affected.append(int(b))
         if not affected:
             return {"compacted_buckets": 0, "files_written": 0}
@@ -842,6 +1086,9 @@ class HadoopParquetSink:
             for entry in m.buckets.values():
                 retained.add(entry["schema_version"])
                 referenced_paths.add(os.path.normpath(entry["path"]))
+                for d in entry.get("deltas") or []:  # merge-on-read delta refs
+                    retained.add(d["schema_version"])
+                    referenced_paths.add(os.path.normpath(d["path"]))
         expired = [v for v in versions if v not in retained]
         # tag schema-only retained manifests so snapshots()/load_at_epoch
         # never resolve a read to a version whose data is gone (the manifest

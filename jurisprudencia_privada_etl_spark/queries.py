@@ -135,6 +135,55 @@ SELECT repo, path, ordinal, content, sha256(content) AS content_sha FROM state
 """
 
 
+def q_cdc_mor_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship through the REAL sink in merge-on-read mode: the derived
+    changelog replays epoch-by-epoch into a lake table with
+    ``write_mode="mor"`` (each epoch appends per-bucket delta files; reads
+    resolve base+deltas with the per-key LWW window), and the resolved
+    final state must equal the same pure-SQL LWW oracle as
+    ``cdc_lww_replay`` — the strongest single check that the delta write,
+    classification join and resolution window compose correctly.
+
+    The temp table lives under /tmp for the caller's collection; the
+    returned DataFrame lazily reads it.
+    """
+    import tempfile
+
+    from jurisprudencia_privada_etl_spark.plans.replay import (
+        ReplayConfig,
+        replay_dataframe,
+    )
+
+    # Two epochs (base write + one delta generation) bound the query's job
+    # count; deeper delta stacking is pinned by tests/test_mor.py.
+    log = derived_changelog(spark, sf_dir).where(F.col("epoch") < 2)
+    table = tempfile.mkdtemp(prefix="jurisprudencia_etl_mor_")
+    # run_extraction=False: the document-extraction Arrow stage is benched by
+    # cdc_lww_replay/the replay rows already — this query isolates the MoR
+    # machinery (delta write, classification join, resolution window).
+    sink = replay_dataframe(
+        spark, log, table,
+        ReplayConfig(write_mode="mor", n_buckets=16, n_salts=4, run_extraction=False),
+    )
+    return sink.load().select(
+        "repo", "path", "ordinal", "content",
+        F.sha2(F.col("content"), 256).alias("content_sha"),
+    )
+
+
+SQL_CDC_MOR_REPLAY = f"""
+WITH {CHANGELOG_CTE},
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY ordinal DESC) AS rn
+    FROM changelog WHERE epoch < 2
+),
+state AS (
+    SELECT repo, path, ordinal, content FROM ranked WHERE rn = 1 AND op <> 'D'
+)
+SELECT repo, path, ordinal, content, sha256(content) AS content_sha FROM state
+"""
+
+
 def q_lww_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 on the raw events table: latest event per user by event_id."""
     e = _t(spark, sf_dir, "events")
@@ -1795,6 +1844,7 @@ FROM s JOIN e USING (l_returnflag)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_lww_replay": q_cdc_lww_replay,
+    "cdc_mor_replay": q_cdc_mor_replay,
     "lww_latest_event_per_user": q_lww_latest_event_per_user,
     "topk_per_group": q_topk_per_group,
     "broadcast_dim_join": q_broadcast_dim_join,
@@ -1853,6 +1903,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "cdc_lww_replay": SQL_CDC_LWW_REPLAY,
+    "cdc_mor_replay": SQL_CDC_MOR_REPLAY,
     "lww_latest_event_per_user": SQL_LWW_LATEST_EVENT,
     "topk_per_group": SQL_TOPK_PER_GROUP,
     "broadcast_dim_join": SQL_BROADCAST_DIM_JOIN,

@@ -48,7 +48,8 @@ def stream_replay(
     ``changelog_path`` is ignored in that case."""
     cfg = cfg or ReplayConfig()
     sink = HadoopParquetSink(spark, table_path, n_buckets=cfg.n_buckets,
-                             merge_strategy=cfg.merge_strategy)
+                             merge_strategy=cfg.merge_strategy,
+                             write_mode=cfg.write_mode)
     if not sink.exists():
         sink.create(TableSchema.from_struct(TARGET_SCHEMA))
 

@@ -34,6 +34,11 @@ def main() -> None:
     ap.add_argument("--n-buckets", type=int, default=64)
     ap.add_argument("--n-salts", type=int, default=16)
     ap.add_argument("--merge-strategy", choices=["window", "agg", "join"], default="window")
+    ap.add_argument(
+        "--write-mode", choices=["cow", "mor"], default="cow",
+        help="cow: rewrite touched buckets per epoch; mor: append per-bucket "
+        "delta files (merge-on-read; fold with --compact)",
+    )
     ap.add_argument("--window-lww", action="store_true", help="row_number-window LWW")
     ap.add_argument(
         "--conflict-fields",
@@ -70,6 +75,7 @@ def main() -> None:
         n_salts=args.n_salts,
         n_buckets=args.n_buckets,
         merge_strategy=args.merge_strategy,
+        write_mode=args.write_mode,
         use_window_lww=args.window_lww,
         default_year=args.default_year,
         conflict_fields=(
