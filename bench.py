@@ -156,6 +156,89 @@ def bench_replay_large(spark, n_events: int, cpus: int) -> dict:
     }
 
 
+def bench_incremental_apply(
+    spark, cpus: int, base_events: int = 1_000_000, inc_events: int = 50_000, reps: int = 2
+) -> dict:
+    """CoW vs MoR applying a SMALL epoch to a BIG converged table — the
+    steady-state shape of the north rule's continuous tail (each commit
+    batch is tiny next to the accumulated table).  Copy-on-write rewrites
+    every touched bucket's full payload; merge-on-read appends only the
+    epoch's winning rows and defers the rewrite to compaction.  Reports
+    wall seconds AND bytes written per mode (the write-amplification
+    number that scales to 100 TB), plus MoR's deferred compaction fold.
+
+    Each timed apply starts from a fresh copy of the same converged base
+    (exactly-once makes an in-place re-apply a no-op, so reps need fresh
+    tables); copies are untimed.
+    """
+    from pyspark.sql import functions as F
+
+    from jurisprudencia_privada_etl_spark.plans import manifest as mf
+    from jurisprudencia_privada_etl_spark.plans.sink import HadoopParquetSink
+
+    workdir = tempfile.mkdtemp(prefix="bench_inc_")
+    clog = os.path.join(workdir, "changelog")
+    n = base_events + inc_events
+    log = synthetic_changelog(
+        spark, n, seed=44, n_epochs=2, n_repos=2000, paths_per_repo=4000,
+        skew=3.0, pct_update=0.35, pct_delete=0.10,
+        num_partitions=max(cpus, n // 100_000),
+    ).withColumn(
+        # re-cut the epochs: everything below base_events converges as the
+        # bulk-load epoch 0, the last inc_events are the incremental epoch 1
+        "epoch", F.when(F.col("ordinal") < base_events, F.lit(0)).otherwise(F.lit(1))
+    )
+    write_changelog(log, clog)
+
+    def version_bytes(table: str, version: int) -> int:
+        root = os.path.join(table, "data", f"v{version:08d}")
+        return sum(
+            os.path.getsize(os.path.join(d, f))
+            for d, _, files in os.walk(root)
+            for f in files
+        )
+
+    base = os.path.join(workdir, "base")
+    cfg = {"cow": ReplayConfig(n_salts=16, n_buckets=128, files_per_bucket=2),
+           "mor": ReplayConfig(n_salts=16, n_buckets=128, files_per_bucket=2,
+                               write_mode="mor")}
+    replay(spark, clog, base, cfg["cow"], epochs=[0])
+    base_rows = HadoopParquetSink(spark, base).load().count()
+
+    out: dict = {"base_events": base_events, "base_rows": base_rows,
+                 "inc_events": inc_events}
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for mode in ("cow", "mor"):
+            times, bytes_written, compact_s = [], 0, None
+            for r in range(reps):
+                table = os.path.join(workdir, f"t_{mode}{r}")
+                shutil.copytree(base, table)
+                t0 = time.time()
+                replay(spark, clog, table, cfg[mode])
+                times.append(round(time.time() - t0, 2))
+                v = mf.current_version(table)
+                bytes_written = version_bytes(table, v)
+                if mode == "mor" and r == reps - 1:
+                    t0 = time.time()
+                    HadoopParquetSink(spark, table, n_buckets=128).compact()
+                    compact_s = round(time.time() - t0, 2)
+                shutil.rmtree(table, ignore_errors=True)
+            row = {"seconds": min(times), "all_runs_sec": times,
+                   "bytes_written": bytes_written}
+            if compact_s is not None:
+                row["compact_seconds"] = compact_s
+            out[mode] = row
+        out["mor_write_amplification_ratio"] = round(
+            out["cow"]["bytes_written"] / max(1, out["mor"]["bytes_written"]), 2
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -176,6 +259,8 @@ def main() -> None:
     n_large = int(os.environ.get("BENCH_EVENTS_LARGE", str(8 * n_events)))
     if n_large > 0:
         replay_stats["at_scale"] = bench_replay_large(spark, n_large, cpus)
+    if os.environ.get("BENCH_SKIP_INCREMENTAL") != "1":
+        replay_stats["incremental_apply"] = bench_incremental_apply(spark, cpus)
 
     query_times: dict[str, float] = {}
     if os.environ.get("BENCH_SKIP_QUERIES") != "1":
