@@ -1128,9 +1128,16 @@ class IcebergSink:
     this sandbox — constructor raises if the extension is missing); shares
     all planning code with HadoopParquetSink via open_sink()."""
 
-    def __init__(self, spark: SparkSession, table: str):
+    def __init__(self, spark: SparkSession, table: str, write_mode: str = "cow"):
         self.spark = spark
         self.table = table
+        # "cow" | "mor": on the real Iceberg runtime the merge-on-read trade
+        # is a v2 table-property choice (position/equality delete files
+        # instead of rewritten data files); the engine's MERGE/maintenance
+        # SQL is identical in both modes — Iceberg picks the physical
+        # strategy from write.merge.mode, the analog of HadoopParquetSink's
+        # delta-file emulation.
+        self.write_mode = write_mode
         try:
             spark._jvm.org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions  # noqa: B018, SLF001
         except Exception as e:  # pragma: no cover - sandbox has no iceberg jar
@@ -1141,10 +1148,20 @@ class IcebergSink:
 
     def create(self, schema: TableSchema) -> None:
         ddl = ", ".join(f"{c.name} {c.dtype}" for c in schema.columns)
+        mode = "merge-on-read" if self.write_mode == "mor" else "copy-on-write"
+        props = ", ".join(
+            [
+                "'format-version'='2'",  # row-level deletes need v2
+                f"'write.merge.mode'='{mode}'",
+                f"'write.update.mode'='{mode}'",
+                f"'write.delete.mode'='{mode}'",
+            ]
+        )
         self.spark.sql(
             f"CREATE TABLE IF NOT EXISTS {self.table} ({ddl}, ordinal bigint, "
             f"content_sha string, deleted boolean) USING iceberg "
-            f"PARTITIONED BY (bucket(64, repo))"
+            f"PARTITIONED BY (bucket(64, repo)) "
+            f"TBLPROPERTIES ({props})"
         )
         # migration: tables created before the soft-delete model lack the
         # column.  Spark SQL has no ADD COLUMN IF NOT EXISTS (that form only
@@ -1283,9 +1300,9 @@ class IcebergSink:
         return df.where(~F.coalesce(F.col("deleted"), F.lit(False)))
 
 
-def open_sink(spark: SparkSession, location: str, n_buckets: int = 64):
+def open_sink(spark: SparkSession, location: str, n_buckets: int = 64, write_mode: str = "cow"):
     """Pick the sink: Iceberg when available and ``location`` is a table
     identifier, otherwise the parquet+manifest emulation."""
     if "/" not in location:
-        return IcebergSink(spark, location)
-    return HadoopParquetSink(spark, location, n_buckets=n_buckets)
+        return IcebergSink(spark, location, write_mode=write_mode)
+    return HadoopParquetSink(spark, location, n_buckets=n_buckets, write_mode=write_mode)

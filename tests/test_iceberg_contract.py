@@ -96,6 +96,23 @@ def test_create_new_table_issues_no_alter():
     assert create.startswith("CREATE TABLE IF NOT EXISTS lake.docs")
     assert "deleted boolean" in create and "USING iceberg" in create
     assert "PARTITIONED BY (bucket(64, repo))" in create
+    # soft-delete rows + MERGE need format v2; the default mode is explicit
+    assert "'format-version'='2'" in create
+    assert "'write.merge.mode'='copy-on-write'" in create
+
+
+def test_create_mor_table_sets_merge_on_read_properties():
+    """write_mode="mor" maps to Iceberg v2's native merge-on-read table
+    properties (position/equality delete files instead of rewritten data
+    files) — the production analog of HadoopParquetSink's delta emulation.
+    The MERGE/maintenance SQL is mode-independent; Iceberg picks the
+    physical strategy from these properties."""
+    spark = FakeSpark(table_columns=["repo", "path", "content", "ordinal", "content_sha", "deleted"])
+    IcebergSink(spark, "lake.docs", write_mode="mor").create(SCHEMA)
+    create = spark.statements[0]
+    assert "'format-version'='2'" in create
+    for prop in ("write.merge.mode", "write.update.mode", "write.delete.mode"):
+        assert f"'{prop}'='merge-on-read'" in create
 
 
 def test_create_migrates_pre_soft_delete_table_with_valid_sql():
