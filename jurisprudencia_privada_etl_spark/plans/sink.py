@@ -232,10 +232,13 @@ class HadoopParquetSink:
 
     # -- reads ----------------------------------------------------------------
 
-    def _empty(self, schema: TableSchema, keep: list | None = None) -> DataFrame:
+    def _empty(
+        self, schema: TableSchema, keep: list | None = None, keep_bk: list | None = None
+    ) -> DataFrame:
         cols = keep if keep is not None else schema.columns
+        bk = keep_bk if keep_bk is not None else BOOKKEEPING
         fields = [T.StructField(c.name, T._parse_datatype_string(c.dtype), True) for c in cols] + [
-            T.StructField(n, T._parse_datatype_string(t), True) for n, t in BOOKKEEPING
+            T.StructField(n, T._parse_datatype_string(t), True) for n, t in bk
         ] + [T.StructField(BUCKET_COLUMN, T.IntegerType(), True)]
         return self.spark.createDataFrame([], T.StructType(fields))
 
@@ -284,8 +287,14 @@ class HadoopParquetSink:
             c for c in cur.columns
             if columns is None or c.name in columns or c.name in KEY_COLUMNS
         ]
+        # ordinal/deleted are always read (LWW resolution + tombstone filter
+        # need them); the other bookkeeping fields prune like payload
+        keep_bk = [
+            (n, t) for n, t in BOOKKEEPING
+            if columns is None or n in columns or n in ("ordinal", "deleted")
+        ]
         if not wanted:
-            return self._empty(cur, keep)
+            return self._empty(cur, keep, keep_bk)
 
         # read units: (relative dir, writing manifest version).  The writing
         # version doubles as the schema version for column-id mapping and as
@@ -318,7 +327,7 @@ class HadoopParquetSink:
                         cols.append(F.col(old_by_id[c.col_id].name).alias(c.name))
                     else:
                         cols.append(F.lit(None).cast(c.dtype).alias(c.name))
-                cols += [F.col(n) for n, _ in BOOKKEEPING]
+                cols += [F.col(n) for n, _ in keep_bk]
                 cols.append(F.col(BUCKET_COLUMN).cast("int"))
                 if with_seq:
                     cols.append(F.lit(sv).alias("_seq"))

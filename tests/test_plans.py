@@ -196,3 +196,34 @@ def test_files_per_bucket_keeps_single_merge_exchange(spark, tmp_path):
             assert len(exs) == 1 and "_sub" in exs[0] and "_bucket" in exs[0]
     assert results[1] == results[3]
     log.unpersist()
+
+
+def test_mor_resolution_read_prunes_payload_columns(spark, tmp_path):
+    """load(columns=[]) over a merge-on-read table must keep `content` out
+    of the parquet scans ENTIRELY — the per-key LWW resolution window
+    shuffles every surviving row, and the MoR merge's classification join
+    calls exactly this read per epoch; dragging the payload through that
+    shuffle would re-read the table's biggest column for a keys-only
+    question (SURVEY.md 'Push down and prune')."""
+    from jurisprudencia_privada_etl_spark.plans.replay import ReplayConfig, replay_dataframe
+
+    log = synthetic_changelog(spark, 600, seed=41, n_epochs=2, n_repos=5,
+                              paths_per_repo=40, pct_update=0.4, pct_delete=0.1)
+    sink = replay_dataframe(
+        spark, log, str(tmp_path / "t"), ReplayConfig(write_mode="mor")
+    )
+    assert any(e.get("deltas") for e in sink.manifest().buckets.values())
+    pruned = sink.load(include_tombstones=True, columns=[])
+    plan = plan_of(pruned)
+    read_schemas = [ln.splitlines()[0] for ln in plan.split("ReadSchema:")[1:]]
+    assert read_schemas, "no parquet scan in the plan"
+    for rs in read_schemas:
+        # content_sha (bookkeeping) is fine; the payload column `content` is not
+        assert "content:" not in rs, f"payload leaked into a pruned scan: {rs}"
+        assert "repo" in rs and "ordinal" in rs
+    # the resolution window is present (delta-bearing buckets) ...
+    assert "row_number" in plan or "Window" in plan
+    # ... and the full read still carries the payload (sanity: pruning is
+    # the columns= projection, not an accident of the table)
+    full_rs = plan_of(sink.load()).split("ReadSchema:")[1].splitlines()[0]
+    assert "content:" in full_rs
