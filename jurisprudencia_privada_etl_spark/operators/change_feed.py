@@ -130,7 +130,11 @@ def snapshot_as_changelog(sink, epoch: int = 0, version: int | None = None) -> D
 
 
 def change_feed(
-    sink, from_version: int, to_version: int | None = None, on_vacuum: str = "error"
+    sink,
+    from_version: int,
+    to_version: int | None = None,
+    on_vacuum: str = "error",
+    delete_image: str = "auto",
 ) -> DataFrame:
     """Delta between two committed snapshots of a ``HadoopParquetSink``.
 
@@ -155,10 +159,22 @@ def change_feed(
     consumer to re-bootstrap via ``snapshot_as_changelog``.
     ``on_vacuum="allow"`` emits the feed anyway (fine for non-replication
     consumers that only read the feed as an audit log).
+
+    ``delete_image`` picks which row image a ``delete`` change carries:
+    ``"auto"`` (default) prefers the retained tombstone — its ordinal is the
+    delete's own, which downstream replication (``feed_as_changelog``) needs
+    to win the strict ``s.ordinal > t.ordinal`` merge guard; ``"preimage"``
+    always emits the OLD live image — the values being removed, which
+    incremental view maintenance (operators/mview.py) subtracts from
+    self-maintainable aggregates.  A preimage consumer never reads tombstone
+    ordinals, so it may safely pass ``on_vacuum="allow"``.
     """
     import logging
 
     from jurisprudencia_privada_etl_spark.plans.sink import BUCKET_COLUMN
+
+    if delete_image not in ("auto", "preimage"):
+        raise ValueError(f"delete_image must be 'auto' or 'preimage', got {delete_image!r}")
 
     m0 = sink.manifest(from_version)
     m1 = sink.manifest(to_version)
@@ -223,9 +239,13 @@ def change_feed(
         F.when(F.col("_o").isNull() & live_n, F.array(tagged("insert", F.col("_n"))))
         .when(
             F.col("_o").isNotNull() & gone_n,
-            # tombstone image when retained (correct ordinal); old image only
-            # when the tombstone was already vacuumed between the versions
-            F.array(tagged("delete", F.coalesce(F.col("_n"), F.col("_o")))),
+            # auto: tombstone image when retained (correct ordinal); old image
+            # only when the tombstone was already vacuumed between the versions
+            F.array(tagged(
+                "delete",
+                F.col("_o") if delete_image == "preimage"
+                else F.coalesce(F.col("_n"), F.col("_o")),
+            )),
         )
         .when(
             F.col("_o").isNotNull() & live_n & ~F.col("_o").eqNullSafe(F.col("_n")),

@@ -1839,6 +1839,110 @@ FROM s JOIN e USING (l_returnflag)
 
 
 # ---------------------------------------------------------------------------
+# incremental materialized-view maintenance (operators/mview.py, round 4)
+# ---------------------------------------------------------------------------
+
+def _mview_states(spark: SparkSession, sf_dir: str):
+    """(prefix state, final state) of the derived changelog, projected to the
+    view inputs.  ``lang`` is PAYLOAD (an update can move a key between
+    groups — the group-migration case both refresh paths must handle)."""
+    log = derived_changelog(spark, sf_dir)
+
+    def state(df):
+        live = lww_dedup(df, ["repo", "path"], "ordinal").where(F.col("op") != "D")
+        return live.select(
+            "repo", "path", "ordinal", "lang",
+            F.length("content").cast("long").alias("content_len"),
+        )
+
+    return state(log.where(F.col("epoch") < 3)), state(log)
+
+
+MVIEW_STATES_SQL = f"""
+WITH {CHANGELOG_CTE},
+state AS (
+    SELECT repo, path, ordinal, lang, CAST(length(content) AS BIGINT) AS content_len FROM (
+        SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY ordinal DESC) rn
+        FROM changelog
+    ) WHERE rn = 1 AND op <> 'D'
+)
+"""
+
+
+def q_mview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-maintainable view refresh: a count/sum view grouped by ``lang``
+    is computed at the epoch<3 prefix state, then advanced to the final
+    state by applying the signed delta of the change feed — one groupBy over
+    the feed + one join against the stored view, never a base rescan
+    (operators/mview.py).  The oracle is a straight GROUP BY over the FINAL
+    state only: incremental maintenance must be indistinguishable from
+    recompute, including dropped empty groups and NULL-sum restoration."""
+    from jurisprudencia_privada_etl_spark.operators.change_feed import diff_states
+    from jurisprudencia_privada_etl_spark.operators.mview import (
+        aggregate_view,
+        apply_delta,
+        delta_from_feed,
+        public_columns,
+    )
+
+    old, new = _mview_states(spark, sf_dir)
+    specs = [
+        ("n_paths", "count", None),
+        ("sum_ordinal", "sum", "ordinal"),
+        ("sum_content_len", "sum", "content_len"),
+    ]
+    view0 = aggregate_view(old, ["lang", "repo"], specs)
+    feed = diff_states(old, new, ["repo", "path"])
+    view1 = apply_delta(
+        view0, delta_from_feed(feed, ["lang", "repo"], specs), ["lang", "repo"], specs
+    )
+    return view1.select(*public_columns(["lang", "repo"], specs))
+
+
+SQL_MVIEW_INCREMENTAL = MVIEW_STATES_SQL + """
+SELECT lang, repo,
+       COUNT(*) AS n_paths,
+       CAST(SUM(ordinal) AS BIGINT) AS sum_ordinal,
+       CAST(SUM(content_len) AS BIGINT) AS sum_content_len
+FROM state GROUP BY lang, repo
+"""
+
+
+def q_mview_minmax_rescan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-self-maintainable view refresh: min/max can't be maintained as a
+    delta under deletes (the removed row may have been the extreme), so the
+    view refreshes by recomputing ONLY the groups the feed touched and
+    passing untouched groups through from the stored view
+    (operators/mview.refresh_groups).  Same recompute-parity oracle."""
+    from jurisprudencia_privada_etl_spark.operators.change_feed import diff_states
+    from jurisprudencia_privada_etl_spark.operators.mview import (
+        aggregate_view,
+        public_columns,
+        refresh_groups,
+    )
+
+    old, new = _mview_states(spark, sf_dir)
+    specs = [
+        ("n_paths", "count", None),
+        ("min_ordinal", "min", "ordinal"),
+        ("max_content_len", "max", "content_len"),
+    ]
+    view0 = aggregate_view(old, ["lang", "repo"], specs)
+    feed = diff_states(old, new, ["repo", "path"])
+    view1 = refresh_groups(view0, feed, new, ["lang", "repo"], specs)
+    return view1.select(*public_columns(["lang", "repo"], specs))
+
+
+SQL_MVIEW_MINMAX_RESCAN = MVIEW_STATES_SQL + """
+SELECT lang, repo,
+       COUNT(*) AS n_paths,
+       MIN(ordinal) AS min_ordinal,
+       MAX(content_len) AS max_content_len
+FROM state GROUP BY lang, repo
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1899,6 +2003,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmv_distinct": q_kmv_distinct,
     "dedup_clusters": q_dedup_clusters,
     "pack_sequences": q_pack_sequences,
+    # incremental materialized-view maintenance (round 4):
+    "mview_incremental": q_mview_incremental,
+    "mview_minmax_rescan": q_mview_minmax_rescan,
 }
 
 ORACLES: dict[str, str] = {
@@ -1954,4 +2061,6 @@ ORACLES: dict[str, str] = {
     "kmv_distinct": SQL_KMV_DISTINCT,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "mview_incremental": SQL_MVIEW_INCREMENTAL,
+    "mview_minmax_rescan": SQL_MVIEW_MINMAX_RESCAN,
 }
