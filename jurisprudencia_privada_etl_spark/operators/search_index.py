@@ -1,0 +1,125 @@
+"""Incrementally-maintained inverted index over the lake table's text.
+
+Reference parity, finally first-class: the reference engine's ENTIRE
+downstream is a search index — every upsert it performs is an index-document
+write (reference src/indexer.ts / sharepoint.ts push the extracted records
+into the jurisprudencia search backend).  This module re-expresses that sink
+as a lake-native posting-list table the engine maintains ITSELF from its own
+change data feed, instead of shipping rows to an external service:
+
+* a posting row is ``(term, *keys, tf)`` — term frequency of ``term`` in the
+  document at ``keys``;
+* the index is exactly a grouped aggregate of the token-exploded base table,
+  so maintenance composes from the materialized-view machinery
+  (operators/mview.py): a document-level change feed explodes into a
+  token-level feed (pre/postimages carry their own text), and the mview
+  delta merge adds/removes postings — **O(changed documents × their tokens)
+  per refresh, never a corpus rescan**.  A re-tokenization of the whole
+  corpus at 100 TB is exactly the job CDC exists to avoid.
+* deletes/updates need the OLD text to know which postings to remove — the
+  feed must carry preimages (``change_feed(..., delete_image="preimage")``;
+  ``diff_states`` always does).  A group (term, key) whose tf reaches zero
+  drops out via the mview live-row guard, so stale postings never linger.
+
+Tokenization is deliberately engine-portable (lowercase, split on
+non-alphanumeric runs) so a SQL oracle reproduces the index bit-for-bit;
+swap ``tokens_column`` for a real analyzer chain (the text functions in
+functions/text.py — NFD fold, HTML strip) when fidelity matters more than
+oracle-checkability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from jurisprudencia_privada_etl_spark.operators.change_feed import CHANGE_TYPE_COLUMN
+from jurisprudencia_privada_etl_spark.operators.mview import (
+    aggregate_view,
+    apply_delta,
+    delta_from_feed,
+    public_columns,
+)
+from jurisprudencia_privada_etl_spark.schemas import KEY_COLUMNS
+
+TOKEN_SPLIT = "[^a-z0-9]+"
+TF_SPECS = [("tf", "count", None)]
+
+
+def tokens_column(col: Column) -> Column:
+    """array<string> of lowercase alphanumeric tokens (empties removed)."""
+    return F.filter(F.split(F.lower(col), TOKEN_SPLIT), lambda t: t != F.lit(""))
+
+
+def _exploded(df: DataFrame, text_col: str, keys: list[str], extra: list[str]) -> DataFrame:
+    return df.select(
+        *keys, *extra, F.explode(tokens_column(F.col(text_col))).alias("term")
+    )
+
+
+def build_index(
+    state: DataFrame, text_col: str = "content", keys: list[str] | None = None
+) -> DataFrame:
+    """Full index build: token-explode + one groupBy(term, keys).
+
+    The token explode is a JVM-side generator (no Python); the groupBy
+    map-side-combines, so the shuffle carries one row per distinct
+    (term, doc) — bounded by vocabulary × docs, not token occurrences.
+    Carries the mview bookkeeping so increments can apply to it.
+    """
+    keys = keys or KEY_COLUMNS
+    return aggregate_view(_exploded(state, text_col, keys, []), ["term", *keys], TF_SPECS)
+
+
+def index_columns(keys: list[str] | None = None) -> list[str]:
+    return public_columns(["term", *(keys or KEY_COLUMNS)], TF_SPECS)
+
+
+def posting_feed(
+    feed: DataFrame, text_col: str = "content", keys: list[str] | None = None
+) -> DataFrame:
+    """Document-level change feed → token-level change feed.  Each image row
+    explodes into one row per token occurrence carrying the same change
+    type; the mview delta then signs them (+post / −pre)."""
+    keys = keys or KEY_COLUMNS
+    return _exploded(feed, text_col, keys, [CHANGE_TYPE_COLUMN])
+
+
+def apply_feed(
+    index: DataFrame,
+    feed: DataFrame,
+    text_col: str = "content",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Advance an index by one feed window: explode → signed per-posting
+    delta → mview merge.  Cost is O(changed docs × tokens + touched
+    postings); emptied postings drop via the live-row guard."""
+    keys = keys or KEY_COLUMNS
+    groups = ["term", *keys]
+    delta = delta_from_feed(posting_feed(feed, text_col, keys), groups, TF_SPECS)
+    return apply_delta(index, delta, groups, TF_SPECS)
+
+
+def search(
+    index: DataFrame, terms: list[str], k: int = 10, keys: list[str] | None = None
+) -> DataFrame:
+    """AND-semantics term search: documents containing EVERY query term,
+    scored by total term frequency, deterministic tie-break on the keys.
+
+    The postings scan prunes to ``term IN (...)`` (pushed to parquet when
+    the index is stored), so cost is O(matching postings), not O(index).
+    """
+    keys = keys or KEY_COLUMNS
+    qt = [t.lower() for t in terms]
+    return (
+        index.where(F.col("term").isin(qt))
+        .groupBy(*keys)
+        .agg(
+            F.countDistinct("term").alias("_nt"),
+            F.sum("tf").cast("long").alias("score"),
+        )
+        .where(F.col("_nt") == len(set(qt)))
+        .drop("_nt")
+        .orderBy(F.desc("score"), *keys)
+        .limit(k)
+    )

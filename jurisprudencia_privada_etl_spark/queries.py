@@ -1943,6 +1943,96 @@ FROM state GROUP BY lang, repo
 
 
 # ---------------------------------------------------------------------------
+# incrementally-maintained inverted index (operators/search_index.py, round 4)
+# ---------------------------------------------------------------------------
+
+def _index_states(spark: SparkSession, sf_dir: str):
+    """(prefix state, final state) carrying the raw text for tokenization."""
+    log = derived_changelog(spark, sf_dir)
+
+    def state(df):
+        live = lww_dedup(df, ["repo", "path"], "ordinal").where(F.col("op") != "D")
+        return live.select("repo", "path", "ordinal", "content")
+
+    return state(log.where(F.col("epoch") < 3)), state(log)
+
+
+INDEX_STATE_SQL = f"""
+WITH {CHANGELOG_CTE},
+state AS (
+    SELECT repo, path, ordinal, content FROM (
+        SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY ordinal DESC) rn
+        FROM changelog
+    ) WHERE rn = 1 AND op <> 'D'
+),
+tok AS (
+    SELECT repo, path,
+           unnest(string_split_regex(lower(content), '[^a-z0-9]+')) AS term
+    FROM state
+),
+postings AS (
+    SELECT term, repo, path, COUNT(*) AS tf
+    FROM tok WHERE term <> '' GROUP BY term, repo, path
+)
+"""
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's search-index sink, lake-native and incremental: an
+    inverted index (term → posting rows) built at the epoch<3 prefix state
+    is advanced to the final state by exploding the document-level change
+    feed into signed posting deltas (operators/search_index.apply_feed) —
+    O(changed docs × tokens), never a corpus re-tokenization.  The oracle
+    tokenizes the FINAL state only and aggregates per term: incremental
+    index maintenance must equal a from-scratch build."""
+    from jurisprudencia_privada_etl_spark.operators.change_feed import diff_states
+    from jurisprudencia_privada_etl_spark.operators.search_index import apply_feed, build_index
+
+    old, new = _index_states(spark, sf_dir)
+    index0 = build_index(old, "content", ["repo", "path"])
+    feed = diff_states(old, new, ["repo", "path"])
+    index1 = apply_feed(index0, feed, "content", ["repo", "path"])
+    return index1.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("tf").cast("long").alias("total_tf")
+    )
+
+
+SQL_INVERTED_INDEX = INDEX_STATE_SQL + """
+SELECT term, COUNT(*) AS n_docs, CAST(SUM(tf) AS BIGINT) AS total_tf
+FROM postings GROUP BY term
+"""
+
+
+def q_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND-semantics term search over the incrementally-maintained index:
+    documents containing every query term, scored by total tf with a
+    deterministic key tie-break.  The postings scan prunes to
+    ``term IN (...)`` — O(matching postings), not O(index)."""
+    from jurisprudencia_privada_etl_spark.operators.change_feed import diff_states
+    from jurisprudencia_privada_etl_spark.operators.search_index import (
+        apply_feed,
+        build_index,
+        search,
+    )
+
+    old, new = _index_states(spark, sf_dir)
+    index0 = build_index(old, "content", ["repo", "path"])
+    index1 = apply_feed(index0, diff_states(old, new, ["repo", "path"]), "content",
+                        ["repo", "path"])
+    return search(index1, ["69", "3"], k=20, keys=["repo", "path"])
+
+
+SQL_INDEX_SEARCH = INDEX_STATE_SQL + """
+SELECT repo, path, CAST(SUM(tf) AS BIGINT) AS score
+FROM postings WHERE term IN ('69', '3')
+GROUP BY repo, path
+HAVING COUNT(DISTINCT term) = 2
+ORDER BY score DESC, repo, path
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2006,6 +2096,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # incremental materialized-view maintenance (round 4):
     "mview_incremental": q_mview_incremental,
     "mview_minmax_rescan": q_mview_minmax_rescan,
+    # incrementally-maintained inverted index (round 4):
+    "inverted_index": q_inverted_index,
+    "index_search": q_index_search,
 }
 
 ORACLES: dict[str, str] = {
@@ -2063,4 +2156,6 @@ ORACLES: dict[str, str] = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "mview_incremental": SQL_MVIEW_INCREMENTAL,
     "mview_minmax_rescan": SQL_MVIEW_MINMAX_RESCAN,
+    "inverted_index": SQL_INVERTED_INDEX,
+    "index_search": SQL_INDEX_SEARCH,
 }
