@@ -124,3 +124,67 @@ def load(table_path: str, version: int | None = None) -> Manifest | None:
             return None
     with open(os.path.join(_mdir(table_path), _vname(version))) as f:
         return Manifest.from_json(json.load(f))
+
+
+# -- write-audit-publish staging (Iceberg's WAP pattern on this manifest) -----
+
+STAGED_NAME = "staged.json"
+
+
+def publish_staged(table_path: str, manifest: Manifest) -> None:
+    """Stage a snapshot WITHOUT exposing it: same atomic write-then-rename,
+    but to ``staged.json``, which ``current_version`` never reads.  Readers
+    keep seeing the parent snapshot; ``promote_staged`` flips the staged
+    manifest into the committed ``v{N}.json`` line after audits pass."""
+    d = _mdir(table_path)
+    os.makedirs(d, exist_ok=True)
+    final = os.path.join(d, STAGED_NAME)
+    tmp = final + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest.to_json(), f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, final)
+
+
+def load_staged(table_path: str) -> Manifest | None:
+    p = os.path.join(_mdir(table_path), STAGED_NAME)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return Manifest.from_json(json.load(f))
+
+
+def discard_staged(table_path: str) -> bool:
+    p = os.path.join(_mdir(table_path), STAGED_NAME)
+    if not os.path.exists(p):
+        return False
+    os.remove(p)
+    return True
+
+
+class StaleStagedError(RuntimeError):
+    """The table advanced past the staged snapshot's parent — the staged
+    merge was computed against a state that no longer exists and must be
+    aborted and re-run, never promoted."""
+
+
+def promote_staged(table_path: str) -> Manifest:
+    """Commit the staged snapshot: verify its parent is still the current
+    version (optimistic-concurrency check), publish it as ``v{N}.json``,
+    then drop the stage marker.  A crash between publish and drop leaves a
+    stale ``staged.json`` whose parent check fails — the next
+    ``promote_staged`` raises and ``discard_staged`` cleans it up; the
+    COMMITTED line is already correct either way."""
+    staged = load_staged(table_path)
+    if staged is None:
+        raise FileNotFoundError(f"no staged snapshot at {table_path}")
+    cur = current_version(table_path)
+    if cur != staged.parent_version:
+        raise StaleStagedError(
+            f"staged snapshot v{staged.version} was built on v{staged.parent_version} "
+            f"but the table is now at v{cur}; abort and re-merge"
+        )
+    publish(table_path, staged)
+    discard_staged(table_path)
+    return staged

@@ -20,6 +20,7 @@ the manifest is the only commit point.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -70,6 +71,12 @@ class ReplayConfig:
     # <table>/_conflicts/epoch=N (S14 — the reference's Current/New conflict
     # index, report.ts:43-110).  None/[] disables the report.
     conflict_fields: list[str] = field(default_factory=list)
+    # write-audit-publish: when set, every epoch merges with stage=True and
+    # this callable (sink, metrics) -> bool decides publish vs abort.  A
+    # rejected epoch aborts its staged snapshot and raises
+    # AuditRejectedError — the replay STOPS (later epochs must not commit
+    # over a hole); readers never see the rejected state.
+    audit_gate: Any = None
 
 
 def _write_counted(spark: SparkSession, df: DataFrame, path: str, tag: str) -> int:
@@ -127,6 +134,11 @@ def _valid_rows(batch: DataFrame, cfg: ReplayConfig) -> DataFrame:
     from jurisprudencia_privada_etl_spark.operators.reconcile import split_valid
 
     return split_valid(batch, required_cols=["repo", "path", "ordinal"])[0]
+
+
+class AuditRejectedError(RuntimeError):
+    """An audit-gated epoch failed its quality gate; its staged snapshot was
+    aborted and the replay stopped before committing anything past it."""
 
 
 def process_epoch(
@@ -190,10 +202,22 @@ def process_epoch(
         def side_metrics() -> dict:
             return {name: n for name, fut in side for n in [fut.result()] if n}
 
-        return sink.merge(
+        r = sink.merge(
             updates, epoch, touched=touched, lineage=lineage,
             extra_metrics_fn=side_metrics if side else None,
+            stage=cfg.audit_gate is not None,
         )
+        if cfg.audit_gate is not None and not r.get("skipped"):
+            if cfg.audit_gate(sink, r):
+                sink.publish_staged()
+            else:
+                sink.abort_staged()
+                raise AuditRejectedError(
+                    f"epoch {epoch} rejected by audit gate "
+                    f"(created={r.get('created')} updated={r.get('updated')} "
+                    f"deleted={r.get('deleted')}); staged snapshot aborted"
+                )
+        return r
     finally:
         pool.shutdown(wait=True)
 

@@ -42,6 +42,7 @@ resurrect a deleted key.  Three physical strategies, property-tested equal:
 from __future__ import annotations
 
 import os
+import shutil
 import sys
 import time
 from typing import Any
@@ -248,6 +249,7 @@ class HadoopParquetSink:
         include_tombstones: bool = False,
         version: int | None = None,
         columns: list[str] | None = None,
+        manifest: "mf.Manifest | None" = None,
     ) -> DataFrame:
         """Snapshot read, aligned to the snapshot's schema.
 
@@ -277,7 +279,7 @@ class HadoopParquetSink:
         matching the merge strategies' strict ``u.ordinal > t.ordinal``
         guard.  Buckets without deltas skip the window entirely.
         """
-        m = self.manifest(version)
+        m = manifest if manifest is not None else self.manifest(version)
         cur = m.schema
         wanted = m.buckets
         if buckets is not None:
@@ -317,7 +319,12 @@ class HadoopParquetSink:
                 by_version.setdefault(sv, []).append(os.path.join(self.table_path, path))
             parts: list[DataFrame] = []
             for sv, dirs in by_version.items():
-                written = mf.load(self.table_path, sv).schema
+                # a staged (un-published) snapshot's own version has no
+                # committed manifest yet — its schema rides the override
+                if manifest is not None and sv == manifest.version:
+                    written = manifest.schema
+                else:
+                    written = mf.load(self.table_path, sv).schema
                 base = os.path.dirname(dirs[0])  # .../data/v{N}
                 df = self.spark.read.option("basePath", base).parquet(*sorted(dirs))
                 old_by_id = {c.col_id: c for c in written.columns}
@@ -550,10 +557,19 @@ class HadoopParquetSink:
         touched: list[int] | None = None,
         lineage: list[dict[str, Any]] | None = None,
         extra_metrics_fn: Any | None = None,
+        stage: bool = False,
     ) -> dict[str, Any]:
         """Apply one epoch's deduped updates.  Exactly-once: a re-run of an
         already-committed epoch is a no-op (epoch stamp check, the engine's
         analog of the reference's idempotent deterministic-id upsert).
+
+        ``stage=True`` is the write-audit-publish gate (Iceberg's WAP
+        pattern): the merge runs in full and its data files land on disk,
+        but the snapshot is written to the stage marker instead of the
+        committed manifest line — readers keep seeing the parent state.
+        Audit the candidate via ``load_staged()``/``staged().metrics``,
+        then ``publish_staged()`` (atomic, with an optimistic
+        parent-version check) or ``abort_staged()``.
 
         ``updates`` must hold exactly one row per key (LWW winners) with
         columns: keys, op, ordinal, content_sha, and the current payload
@@ -597,7 +613,7 @@ class HadoopParquetSink:
 
         if self.write_mode == "mor":
             return self._merge_mor(
-                u, epoch, m, touched, lineage, extra_metrics, extra_metrics_fn
+                u, epoch, m, touched, lineage, extra_metrics, extra_metrics_fn, stage
             )
 
         target = self.load(buckets=touched, include_tombstones=True)
@@ -677,18 +693,19 @@ class HadoopParquetSink:
         if self.crash_before_publish:
             raise RuntimeError("injected crash: data written, manifest NOT published")
 
-        mf.publish(
-            self.table_path,
-            mf.Manifest(
-                version=new_version,
-                last_committed_epoch=epoch,
-                schema=cur,
-                buckets=buckets,
-                n_buckets=m.n_buckets,
-                metrics=metrics,
-                parent_version=m.version,
-            ),
+        out_manifest = mf.Manifest(
+            version=new_version,
+            last_committed_epoch=epoch,
+            schema=cur,
+            buckets=buckets,
+            n_buckets=m.n_buckets,
+            metrics=metrics,
+            parent_version=m.version,
         )
+        if stage:
+            mf.publish_staged(self.table_path, out_manifest)
+            return {**metrics, "staged": True, "staged_version": new_version}
+        mf.publish(self.table_path, out_manifest)
         return metrics
 
 
@@ -701,6 +718,7 @@ class HadoopParquetSink:
         lineage: list[dict[str, Any]] | None,
         extra_metrics: dict[str, Any] | None,
         extra_metrics_fn: Any | None,
+        stage: bool = False,
     ) -> dict[str, Any]:
         """MERGE as an appended per-bucket delta (merge-on-read).
 
@@ -839,19 +857,56 @@ class HadoopParquetSink:
         if self.crash_before_publish:
             raise RuntimeError("injected crash: data written, manifest NOT published")
 
-        mf.publish(
-            self.table_path,
-            mf.Manifest(
-                version=new_version,
-                last_committed_epoch=epoch,
-                schema=m.schema,
-                buckets=buckets,
-                n_buckets=m.n_buckets,
-                metrics=metrics,
-                parent_version=m.version,
-            ),
+        out_manifest = mf.Manifest(
+            version=new_version,
+            last_committed_epoch=epoch,
+            schema=m.schema,
+            buckets=buckets,
+            n_buckets=m.n_buckets,
+            metrics=metrics,
+            parent_version=m.version,
         )
+        if stage:
+            mf.publish_staged(self.table_path, out_manifest)
+            return {**metrics, "staged": True, "staged_version": new_version}
+        mf.publish(self.table_path, out_manifest)
         return metrics
+
+    # -- write-audit-publish (WAP) --------------------------------------------
+
+    def staged(self) -> "mf.Manifest | None":
+        """The staged (un-published) snapshot, or None."""
+        return mf.load_staged(self.table_path)
+
+    def load_staged(self, **kwargs) -> DataFrame:
+        """Read the staged snapshot's state — the audit step of WAP.  Same
+        semantics as ``load`` (bucket pruning, column projection, MoR
+        resolution) but resolved against the stage marker."""
+        staged = self.staged()
+        if staged is None:
+            raise FileNotFoundError(f"no staged snapshot at {self.table_path}")
+        return self.load(manifest=staged, **kwargs)
+
+    def publish_staged(self) -> dict[str, Any]:
+        """Atomically commit the staged snapshot (optimistic
+        parent-version check — raises ``mf.StaleStagedError`` if the table
+        advanced past the staged merge's parent)."""
+        staged = mf.promote_staged(self.table_path)
+        return {"published_version": staged.version, "epoch": staged.last_committed_epoch}
+
+    def abort_staged(self) -> dict[str, Any]:
+        """Drop the staged snapshot and delete its data files.  Only files
+        under the staged version's own data dir are touched — a staged
+        snapshot's version is strictly above every committed one, so no
+        committed manifest can reference them."""
+        staged = mf.load_staged(self.table_path)
+        if staged is None:
+            return {"aborted": False}
+        mf.discard_staged(self.table_path)
+        data_dir = os.path.join(self.table_path, "data", f"v{staged.version:08d}")
+        if os.path.isdir(data_dir):
+            shutil.rmtree(data_dir, ignore_errors=True)
+        return {"aborted": True, "staged_version": staged.version}
 
     def vacuum(self, retain_after_ordinal: int) -> dict:
         """Garbage-collect tombstones with ordinal < ``retain_after_ordinal``.

@@ -54,6 +54,12 @@ def main() -> None:
                     help="re-partition the table onto N hash buckets, then exit")
     ap.add_argument("--generate", type=int, default=0, help="generate N synthetic events first (testing)")
     ap.add_argument("--default-year", type=int, default=2026)
+    ap.add_argument(
+        "--audit-max-delete-fraction", type=float, metavar="F",
+        help="write-audit-publish gate: stage each epoch and abort the replay "
+             "if deletes exceed F of the epoch's applied events (a runaway- "
+             "tombstone circuit breaker; readers never see a rejected epoch)",
+    )
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("cdc-replay").getOrCreate()
@@ -71,6 +77,14 @@ def main() -> None:
 
         write_changelog(synthetic_changelog(spark, args.generate), args.changelog)
 
+    audit_gate = None
+    if args.audit_max_delete_fraction is not None:
+        limit = args.audit_max_delete_fraction
+
+        def audit_gate(sink, metrics):
+            applied = sum(metrics.get(k, 0) for k in ("created", "updated", "deleted"))
+            return applied == 0 or metrics.get("deleted", 0) <= limit * applied
+
     cfg = ReplayConfig(
         n_salts=args.n_salts,
         n_buckets=args.n_buckets,
@@ -83,6 +97,7 @@ def main() -> None:
             if args.conflict_fields
             else []
         ),
+        audit_gate=audit_gate,
     )
 
     maintenance = (
