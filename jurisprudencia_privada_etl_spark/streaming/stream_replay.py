@@ -37,6 +37,7 @@ def stream_replay(
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
     source_df=None,
+    views: "list | None" = None,
 ):
     """Start (and with ``available_now`` run to completion) a streaming
     replay.  Returns the StreamingQuery.
@@ -45,7 +46,15 @@ def stream_replay(
     streaming DataFrame with CHANGELOG_SCHEMA columns — e.g. a Kafka topic
     of Debezium envelopes normalized by ``sources.debezium.parse_debezium``
     (a pure column transform, so it composes with readStream unchanged);
-    ``changelog_path`` is ignored in that case."""
+    ``changelog_path`` is ignored in that case.
+
+    ``views``: MaterializedView instances (operators/mview.py) over this
+    sink to keep continuously current — each is ``refresh()``ed after every
+    committed micro-batch, consuming only that batch's change feed.  The
+    composition stays exactly-once end to end: a re-delivered micro-batch
+    no-ops at the sink's epoch stamp AND at each view's synced-version
+    stamp, so crashing between sink commit and view refresh just replays
+    the refresh from the same closed feed window."""
     cfg = cfg or ReplayConfig()
     sink = HadoopParquetSink(spark, table_path, n_buckets=cfg.n_buckets,
                              merge_strategy=cfg.merge_strategy,
@@ -75,6 +84,8 @@ def stream_replay(
         updates = prepare_epoch_updates(spark, batch_df, cfg, payload)
         sink.merge(updates, batch_id, touched=touched, lineage=lineage,
                    extra_metrics={"streaming_batch": batch_id})
+        for view in views or []:
+            view.refresh()
 
     writer = stream.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint_path

@@ -94,3 +94,51 @@ def test_streaming_debezium_tail_replays(spark, tmp_path):
     got = HadoopParquetSink(spark, table).load().select(*PAYLOAD).toPandas()
     assert_state_equal(got, oracle_reduce(pdf))
     assert len(stream_metrics(spark, table)) >= 2
+
+
+def test_stream_replay_keeps_materialized_views_current(spark, tmp_path):
+    """views=[...]: each committed micro-batch refreshes the attached
+    materialized views from its own change feed — after the stream drains,
+    every view equals a full recompute of the final state, and a checkpoint
+    restart leaves them untouched (both stamps no-op)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from jurisprudencia_privada_etl_spark.operators.mview import (
+        MaterializedView,
+        aggregate_view,
+        public_columns,
+    )
+    from jurisprudencia_privada_etl_spark.plans.sink import BUCKET_COLUMN
+
+    log = synthetic_changelog(spark, 1500, seed=59, n_epochs=3, n_repos=6,
+                              paths_per_repo=50, pct_update=0.4, pct_delete=0.15)
+    table = str(tmp_path / "t")
+    clog = str(tmp_path / "clog")
+    ckpt = str(tmp_path / "ckpt")
+    # bootstrap: epoch 0 streams in first, then the view snapshots that state
+    write_changelog(log.where(F.col("epoch") == 0), clog)
+    stream_replay(spark, clog, table, ckpt, ReplayConfig())
+    sink = HadoopParquetSink(spark, table)
+    specs = [("n_rows", "count", None), ("sum_ordinal", "sum", "ordinal")]
+    mv = MaterializedView(spark, sink, str(tmp_path / "mv"))
+    mv.create(["lang"], specs)
+
+    # the tail keeps flowing; every committed micro-batch refreshes the view
+    write_changelog(log.where(F.col("epoch") >= 1), clog, mode="append")
+    stream_replay(spark, clog, table, ckpt, ReplayConfig(),
+                  max_files_per_trigger=4, views=[mv])
+
+    def cmp():
+        want = aggregate_view(sink.load().drop(BUCKET_COLUMN), ["lang"], specs).select(
+            *public_columns(["lang"], specs)
+        ).toPandas().sort_values("lang").reset_index(drop=True)
+        got = mv.df().toPandas().sort_values("lang").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    cmp()
+    v_synced = mv.synced_version
+    # restart over the same checkpoint: no new batches, view untouched
+    stream_replay(spark, clog, table, ckpt, ReplayConfig(), views=[mv])
+    assert mv.synced_version == v_synced
+    cmp()
