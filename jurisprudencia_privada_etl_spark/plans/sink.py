@@ -967,6 +967,115 @@ class HadoopParquetSink:
         )
         return {"vacuumed_buckets": len(affected)}
 
+    def delete_where(self, predicate, ordinal: int) -> dict:
+        """Targeted purge — right-to-be-forgotten at lake scale.
+
+        Every LIVE row matching ``predicate`` (a Column or SQL string over
+        the table's columns) is rewritten IN PLACE as a tombstone at
+        ``ordinal``, with every payload and derived bookkeeping column
+        (``content_sha`` included) nulled immediately — the purged bytes do
+        not linger in the current snapshot waiting for a vacuum.  Only the
+        matching rows' buckets are rewritten (copy-on-write, same shape as
+        ``vacuum``); MoR delta stacks fold through the resolved rewrite.
+
+        ``ordinal`` must exceed the changelog head, for the same reason
+        every tombstone carries one: a stale pre-purge event replaying
+        later must LOSE the ``s.ordinal > t.ordinal`` merge guard, or the
+        purged key resurrects.  Downstream replicas converge through the
+        normal feed path — the purge surfaces as ordinary ``delete``
+        changes.
+
+        This alone erases the CURRENT snapshot only.  Full physical
+        erasure composes existing ops, in order:
+        ``delete_where(pred, o)`` → ``vacuum(o + 1)`` (GC the purge
+        tombstones themselves) → ``compact()`` (MoR tables: fold delta
+        stacks — a SUPERSEDED pre-purge row version can still sit,
+        invisible to readers, inside a delta-stacked bucket's base file
+        when the purge predicate no longer matches the key's resolved
+        row) → ``expire_snapshots(keep_last=1)`` (drop the time-travel
+        snapshots that still hold the old bytes).  The composition is
+        pinned, per write mode, by
+        tests/test_purge.py::test_full_erasure_leaves_no_trace_on_disk.
+
+        Idempotent: a re-run matches no live rows (they are tombstones
+        now) and publishes nothing.
+        """
+        m = self.manifest()
+        new_version = m.version + 1
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        hit_live = pred & ~F.coalesce(F.col("deleted"), F.lit(False))
+        per_bucket = (
+            self.load()
+            .where(pred)
+            .groupBy(BUCKET_COLUMN)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        affected = sorted(int(r[BUCKET_COLUMN]) for r in per_bucket)
+        n_hit = sum(int(r["n"]) for r in per_bucket)
+        if not affected:
+            return {"purged_rows": 0, "purged_buckets": 0}
+
+        rewrite = self.load(buckets=affected, include_tombstones=True)
+        keep_as_is = {*KEY_COLUMNS, BUCKET_COLUMN}
+        cols = []
+        for name in rewrite.columns:
+            if name in keep_as_is:
+                cols.append(F.col(name))
+            elif name == "ordinal":
+                cols.append(
+                    F.when(hit_live, F.lit(ordinal).cast("long"))
+                    .otherwise(F.col(name)).alias(name)
+                )
+            elif name == "deleted":
+                cols.append(
+                    F.when(hit_live, F.lit(True)).otherwise(F.col(name)).alias(name)
+                )
+            else:
+                cols.append(
+                    F.when(hit_live, F.lit(None)).otherwise(F.col(name)).alias(name)
+                )
+        out = rewrite.select(*cols)
+        data_rel = os.path.join("data", f"v{new_version:08d}")
+        data_dir = os.path.join(self.table_path, data_rel)
+        (
+            out.repartition(max(1, len(affected)), BUCKET_COLUMN)
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COLUMN)
+            .parquet(data_dir)
+        )
+        live = {
+            int(name.split("=", 1)[1])
+            for name in os.listdir(data_dir)
+            if name.startswith(f"{BUCKET_COLUMN}=")
+        }
+        buckets = dict(m.buckets)
+        for b in affected:
+            if b in live:
+                buckets[str(b)] = {
+                    "path": os.path.join(data_rel, f"{BUCKET_COLUMN}={b}"),
+                    "schema_version": new_version,
+                }
+            else:
+                buckets.pop(str(b), None)
+        mf.publish(
+            self.table_path,
+            mf.Manifest(
+                version=new_version,
+                last_committed_epoch=m.last_committed_epoch,
+                schema=m.schema,
+                buckets=buckets,
+                n_buckets=m.n_buckets,
+                metrics={
+                    "purge_ordinal": ordinal,
+                    "purged_rows": n_hit,
+                    "buckets": len(affected),
+                },
+                parent_version=m.version,
+            ),
+        )
+        return {"purged_rows": n_hit, "purged_buckets": len(affected)}
+
     def load_at_epoch(self, epoch: int) -> DataFrame:
         """State as of a committed epoch — the epoch-keyed face of time
         travel.  Resolves to the NEWEST retained manifest version whose

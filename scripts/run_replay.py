@@ -52,6 +52,14 @@ def main() -> None:
                     help="expire all but the newest KEEP snapshots, then exit")
     ap.add_argument("--rebucket", type=int, metavar="N",
                     help="re-partition the table onto N hash buckets, then exit")
+    ap.add_argument("--delete-where", metavar="SQL_PREDICATE",
+                    help="targeted purge: tombstone every live row matching this "
+                         "predicate (requires --purge-ordinal), then exit; compose "
+                         "with --vacuum-below and --expire-snapshots for full "
+                         "physical erasure")
+    ap.add_argument("--purge-ordinal", type=int,
+                    help="tombstone ordinal for --delete-where (must exceed the "
+                         "changelog head so stale replays cannot resurrect)")
     ap.add_argument("--generate", type=int, default=0, help="generate N synthetic events first (testing)")
     ap.add_argument("--default-year", type=int, default=2026)
     ap.add_argument(
@@ -105,10 +113,15 @@ def main() -> None:
         or args.compact
         or args.expire_snapshots is not None
         or args.rebucket is not None
+        or args.delete_where is not None
     )
     if maintenance:
         sink = HadoopParquetSink(spark, args.table, n_buckets=args.n_buckets)
         out = {}
+        if args.delete_where is not None:
+            if args.purge_ordinal is None:
+                sys.exit("--delete-where requires --purge-ordinal")
+            out["delete_where"] = sink.delete_where(args.delete_where, args.purge_ordinal)
         if args.vacuum_below is not None:
             out["vacuum"] = sink.vacuum(args.vacuum_below)
         if args.compact:
