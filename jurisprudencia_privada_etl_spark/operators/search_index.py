@@ -2,8 +2,8 @@
 
 Reference parity, finally first-class: the reference engine's ENTIRE
 downstream is a search index — every upsert it performs is an index-document
-write (reference src/indexer.ts / sharepoint.ts push the extracted records
-into the jurisprudencia search backend).  This module re-expresses that sink
+write (reference src/juris.ts:1-23: an @elastic/elasticsearch Client whose
+`client.index(...)` call receives every extracted record).  This module re-expresses that sink
 as a lake-native posting-list table the engine maintains ITSELF from its own
 change data feed, instead of shipping rows to an external service:
 
