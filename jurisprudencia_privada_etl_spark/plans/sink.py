@@ -1416,6 +1416,23 @@ class IcebergSink:
         )
         return {"vacuum_below": retain_after_ordinal}
 
+    def delete_where(self, predicate: str, ordinal: int) -> dict:
+        """Targeted purge (same contract as HadoopParquetSink.delete_where):
+        matching live rows become payload-nulled tombstones at ``ordinal``
+        in ONE row-level UPDATE — Iceberg rewrites (CoW) or delete-file-
+        masks (MoR) only the matching files.  Full physical erasure on a
+        real runtime composes this with ``vacuum`` + ``compact`` +
+        ``expire_snapshots``, exactly like the parquet sink."""
+        keep = {*KEY_COLUMNS, "ordinal", "deleted"}
+        sets = ", ".join(
+            f"{c} = NULL" for c in self.spark.table(self.table).columns if c not in keep
+        )
+        self.spark.sql(
+            f"UPDATE {self.table} SET {sets}, ordinal = {ordinal}, deleted = true "
+            f"WHERE ({predicate}) AND NOT coalesce(deleted, false)"
+        )
+        return {"purge_ordinal": ordinal}
+
     # -- table maintenance (parity with HadoopParquetSink; Iceberg ships
     # these as stored procedures, so each is one CALL) ------------------------
 

@@ -182,6 +182,22 @@ def test_vacuum_deletes_past_ordinal_horizon():
     assert spark.statements == ["DELETE FROM lake.docs WHERE deleted AND ordinal < 1000"]
 
 
+def test_delete_where_purges_payload_in_one_update():
+    """The purge must null every non-key payload/bookkeeping column (PII
+    leaves the current snapshot immediately), stamp the tombstone ordinal,
+    and touch only LIVE rows — one row-level UPDATE."""
+    spark = FakeSpark(
+        table_columns=["repo", "path", "content", "ordinal", "content_sha", "deleted"]
+    )
+    out = _sink(spark).delete_where("lang = 'md'", 5000)
+    assert out == {"purge_ordinal": 5000}
+    assert spark.statements == [
+        "UPDATE lake.docs SET content = NULL, content_sha = NULL, "
+        "ordinal = 5000, deleted = true "
+        "WHERE (lang = 'md') AND NOT coalesce(deleted, false)"
+    ]
+
+
 def test_load_filters_soft_deletes(spark):
     # the real session fixture is only needed so Column expressions resolve
     fake = FakeSpark(table_columns=["repo", "path", "deleted"])
