@@ -78,3 +78,20 @@ def test_index_build_is_jvm_side(spark):
     plan = build_index(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "Generate" in plan
+
+
+def test_search_over_stored_index_pushes_term_filter_to_scan(spark, tmp_path):
+    """An index persisted as parquet is the deployment shape; search()'s
+    `term IN (...)` must reach the scan as a pushed filter so the read is
+    O(matching postings), not O(index) (SURVEY.md 'Push down and prune')."""
+    docs = [("r", f"p{i}", f"word{i} shared tail{i % 3}") for i in range(50)]
+    idx = build_index(spark.createDataFrame(docs, "repo string, path string, content string"))
+    path = str(tmp_path / "index")
+    idx.write.parquet(path)
+    stored = spark.read.parquet(path)
+    plan = (
+        search(stored, ["shared", "word7"], k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    scan = plan[plan.index("FileScan"):].splitlines()[0]
+    assert "PushedFilters" in scan and "In(term" in scan, scan
