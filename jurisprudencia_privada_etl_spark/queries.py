@@ -2159,3 +2159,14 @@ ORACLES: dict[str, str] = {
     "inverted_index": SQL_INVERTED_INDEX,
     "index_search": SQL_INDEX_SEARCH,
 }
+
+# relational-completeness family (round 4 widening): interval/range join,
+# pivot, grouping sets, histogram, set ops, salted hot-key agg, discrete
+# percentiles, at-least-once dup tolerance, document chunking.
+from jurisprudencia_privada_etl_spark.queries_relational import (  # noqa: E402
+    build_registry as _relational_registry,
+)
+
+_REL_QUERIES, _REL_ORACLES = _relational_registry(CHANGELOG_CTE)
+QUERIES.update(_REL_QUERIES)
+ORACLES.update(_REL_ORACLES)
