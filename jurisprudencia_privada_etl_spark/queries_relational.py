@@ -393,6 +393,75 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# deterministic sampling / dataset split (LLM-pipeline family)
+# ---------------------------------------------------------------------------
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment by md5-range on doc_id: one hash
+    per row, no shuffle, stable under repartitioning, identical in any
+    engine with md5 (functions/sampling.py).  Output pins per-(lang, split)
+    counts plus an identity sum so the exact membership is checked, not
+    just the sizes."""
+    from jurisprudencia_privada_etl_spark.functions.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    split = hash_split("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="split42")
+    return (
+        d.select("lang", split.alias("split"), "doc_id")
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("doc_id").alias("sum_ids"))
+    )
+
+
+def _sql_hash_split() -> str:
+    from jurisprudencia_privada_etl_spark.functions.sampling import hex_threshold
+
+    t80, t90 = hex_threshold(0.8), hex_threshold(0.9)
+    return f"""
+SELECT lang,
+       CASE WHEN substr(md5('split42' || CAST(doc_id AS VARCHAR)), 1, 8) < '{t80}'
+                 THEN 'train'
+            WHEN substr(md5('split42' || CAST(doc_id AS VARCHAR)), 1, 8) < '{t90}'
+                 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*)     AS n_docs,
+       SUM(doc_id)  AS sum_ids
+FROM documents GROUP BY 1, 2
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language 20% deterministic sample: the sample predicate is a
+    row-local scan filter (pushdown-able), and sampling the same key with
+    the same salt in another table keeps joins intact.  Output: per-lang
+    total vs sampled counts + sampled identity sum."""
+    from jurisprudencia_privada_etl_spark.functions.sampling import hash_hex, hex_threshold
+
+    d = _t(spark, sf_dir, "documents")
+    keep = hash_hex("doc_id", salt="s1") < F.lit(hex_threshold(0.2))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_sampled"),
+        F.sum(F.when(keep, F.col("doc_id")).otherwise(0)).alias("sum_sampled_ids"),
+    )
+
+
+def _sql_stratified_sample() -> str:
+    from jurisprudencia_privada_etl_spark.functions.sampling import hex_threshold
+
+    t20 = hex_threshold(0.2)
+    return f"""
+SELECT lang,
+       COUNT(*) AS n_total,
+       SUM(CASE WHEN substr(md5('s1' || CAST(doc_id AS VARCHAR)), 1, 8) < '{t20}'
+                THEN 1 ELSE 0 END) AS n_sampled,
+       SUM(CASE WHEN substr(md5('s1' || CAST(doc_id AS VARCHAR)), 1, 8) < '{t20}'
+                THEN doc_id ELSE 0 END) AS sum_sampled_ids
+FROM documents GROUP BY lang
+"""
+
+
 def build_registry(changelog_cte: str):
     """(queries, oracles) for this family; the CTE comes from queries.py so
     the dup-tolerant oracle reuses the one authoritative derivation."""
@@ -406,6 +475,8 @@ def build_registry(changelog_cte: str):
         "percentile_disc": q_percentile_disc,
         "dup_tolerant_replay": q_dup_tolerant_replay,
         "chunk_documents": q_chunk_documents,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
     }
     oracles = {
         "interval_range_join": SQL_INTERVAL_RANGE_JOIN,
@@ -417,5 +488,7 @@ def build_registry(changelog_cte: str):
         "percentile_disc": SQL_PERCENTILE_DISC,
         "dup_tolerant_replay": _sql_dup_tolerant(changelog_cte),
         "chunk_documents": SQL_CHUNK_DOCUMENTS,
+        "hash_split": _sql_hash_split(),
+        "stratified_sample": _sql_stratified_sample(),
     }
     return queries, oracles
