@@ -1142,8 +1142,22 @@ class HadoopParquetSink:
         self.n_buckets = new_n_buckets
         return {"rebucketed": True, "n_buckets": new_n_buckets}
 
-    def compact(self, target_files_per_bucket: int = 1, min_files: int = 2) -> dict:
+    def compact(
+        self,
+        target_files_per_bucket: int = 1,
+        min_files: int = 2,
+        zorder: list[str] | None = None,
+    ) -> dict:
         """Small-file compaction (the Iceberg ``rewrite_data_files`` analog).
+
+        ``zorder=[col, ...]`` additionally lays each rewritten bucket out
+        along the Morton curve of those columns (``OPTIMIZE ZORDER BY``):
+        rows sort by z-value within every file, and with
+        ``target_files_per_bucket > 1`` the sub-split becomes contiguous
+        z-ranges instead of a hash — so per-file AND per-row-group min/max
+        stats prune scans on every clustered column (operators/zorder.py).
+        Pure layout change either way: same rows, same epoch, asserted by
+        test.
 
         Long replay histories accumulate buckets written with
         ``files_per_bucket > 1`` (the write-parallelism sub-split) or by
@@ -1184,11 +1198,30 @@ class HadoopParquetSink:
         data_rel = os.path.join("data", f"v{new_version:08d}")
         data_dir = os.path.join(self.table_path, data_rel)
         n_parts = max(1, len(affected) * max(1, target_files_per_bucket))
+        zc = None
+        if zorder:
+            from jurisprudencia_privada_etl_spark.operators.zorder import zvalue
+
+            z_bits = 8
+            keep, zc = zvalue(keep, zorder, bits=z_bits)
+            z_span = 1 << (z_bits * len(zorder))
         if target_files_per_bucket > 1:
-            sub = F.pmod(F.xxhash64(*KEY_COLUMNS, F.lit(-1)), F.lit(target_files_per_bucket))
+            if zc is not None:
+                # contiguous z-ranges per file (not a hash): each file owns
+                # a Morton sub-cube, so its stats stay tight on every dim
+                f = target_files_per_bucket
+                sub = F.least(
+                    F.lit(f - 1), F.floor(F.col(zc) * F.lit(f) / F.lit(z_span))
+                )
+            else:
+                sub = F.pmod(
+                    F.xxhash64(*KEY_COLUMNS, F.lit(-1)), F.lit(target_files_per_bucket)
+                )
             parted = keep.repartition(n_parts, F.col(BUCKET_COLUMN), sub)
         else:
             parted = keep.repartition(n_parts, BUCKET_COLUMN)
+        if zc is not None:
+            parted = parted.sortWithinPartitions(BUCKET_COLUMN, zc).drop(zc)
         parted.write.mode("overwrite").partitionBy(BUCKET_COLUMN).parquet(data_dir)
         live = {
             int(name.split("=", 1)[1])
