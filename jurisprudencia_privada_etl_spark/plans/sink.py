@@ -1187,8 +1187,14 @@ class HadoopParquetSink:
                 if f.startswith("part-") and f.endswith(".parquet")
             )
             # merge-on-read buckets ALWAYS fold: compaction is what pays
-            # down their read-side resolution window
-            if entry.get("deltas") or n_files > max(min_files, target_files_per_bucket):
+            # down their read-side resolution window.  A zorder request
+            # rewrites every bucket — re-laying-out rows is the job even
+            # when the file count is already at target.
+            if (
+                zorder
+                or entry.get("deltas")
+                or n_files > max(min_files, target_files_per_bucket)
+            ):
                 affected.append(int(b))
         if not affected:
             return {"compacted_buckets": 0, "files_written": 0}

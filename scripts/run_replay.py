@@ -48,6 +48,11 @@ def main() -> None:
     ap.add_argument("--checkpoint", help="streaming checkpoint dir (required with --streaming)")
     ap.add_argument("--vacuum-below", type=int, help="GC tombstones below this ordinal, then exit")
     ap.add_argument("--compact", action="store_true", help="compact over-filed buckets, then exit")
+    ap.add_argument("--zorder", metavar="COL[,COL...]",
+                    help="with --compact: lay rewritten buckets out along the "
+                         "Morton curve of these columns (OPTIMIZE ZORDER)")
+    ap.add_argument("--target-files-per-bucket", type=int, default=1,
+                    help="with --compact: files per bucket after rewrite")
     ap.add_argument("--expire-snapshots", type=int, metavar="KEEP",
                     help="expire all but the newest KEEP snapshots, then exit")
     ap.add_argument("--rebucket", type=int, metavar="N",
@@ -125,7 +130,11 @@ def main() -> None:
         if args.vacuum_below is not None:
             out["vacuum"] = sink.vacuum(args.vacuum_below)
         if args.compact:
-            out["compact"] = sink.compact()
+            out["compact"] = sink.compact(
+                target_files_per_bucket=args.target_files_per_bucket,
+                min_files=2,
+                zorder=args.zorder.split(",") if args.zorder else None,
+            )
         if args.rebucket is not None:
             out["rebucket"] = sink.rebucket(args.rebucket)
         if args.expire_snapshots is not None:
