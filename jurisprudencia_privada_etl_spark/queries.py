@@ -2170,3 +2170,14 @@ from jurisprudencia_privada_etl_spark.queries_relational import (  # noqa: E402
 _REL_QUERIES, _REL_ORACLES = _relational_registry(CHANGELOG_CTE)
 QUERIES.update(_REL_QUERIES)
 ORACLES.update(_REL_ORACLES)
+
+# TPC-H-style warehouse analytics family: pricing summary (full-scan
+# partial agg), shipping priority (fact-fact join + top-k), local
+# supplier volume (snowflake join with broadcast dims).
+from jurisprudencia_privada_etl_spark.queries_tpch import (  # noqa: E402
+    build_registry as _tpch_registry,
+)
+
+_TPCH_QUERIES, _TPCH_ORACLES = _tpch_registry()
+QUERIES.update(_TPCH_QUERIES)
+ORACLES.update(_TPCH_ORACLES)
