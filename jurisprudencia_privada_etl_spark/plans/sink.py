@@ -331,7 +331,14 @@ class HadoopParquetSink:
                 cols = []
                 for c in keep:
                     if c.col_id in old_by_id:
-                        cols.append(F.col(old_by_id[c.col_id].name).alias(c.name))
+                        old = old_by_id[c.col_id]
+                        src = F.col(old.name)
+                        if old.dtype != c.dtype:
+                            # widen evolution: files keep their written type,
+                            # readers up-cast (always lossless — widen_column
+                            # rejects anything outside the safe set)
+                            src = src.cast(c.dtype)
+                        cols.append(src.alias(c.name))
                     else:
                         cols.append(F.lit(None).cast(c.dtype).alias(c.name))
                 cols += [F.col(n) for n, _ in keep_bk]
@@ -597,6 +604,11 @@ class HadoopParquetSink:
         for c in cur.columns:
             if c.name not in u.columns:
                 u = u.withColumn(c.name, F.lit(None).cast(c.dtype))
+            elif dict(u.dtypes)[c.name] != c.dtype:
+                # widened column: incoming epochs may still carry the narrow
+                # type; align at the merge input so written files match the
+                # writing snapshot's declared schema (no-op when types agree)
+                u = u.withColumn(c.name, F.col(c.name).cast(c.dtype))
         extras = [
             (F.col(n).cast(t) if n in u.columns else F.lit(None).cast(t)).alias(n)
             for n, t in BOOKKEEPING
@@ -1392,6 +1404,11 @@ class IcebergSink:
                     )
             elif ch.kind == "rename":
                 self.spark.sql(f"ALTER TABLE {self.table} RENAME COLUMN {ch.name} TO {ch.new_name}")
+            elif ch.kind == "widen":
+                # Iceberg validates the promotion server-side (int→bigint,
+                # float→double, decimal precision growth); the parquet sink's
+                # widen_column applies the same rule locally
+                self.spark.sql(f"ALTER TABLE {self.table} ALTER COLUMN {ch.name} TYPE {ch.dtype}")
 
     def last_committed_epoch(self) -> int:
         """Epoch stamp from the table property set at each commit (falls back

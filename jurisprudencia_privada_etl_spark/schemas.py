@@ -100,6 +100,25 @@ class TableSchema:
             return  # idempotent: re-applying an epoch's evolution is a no-op
         self.columns.append(ColumnSpec(self.next_id(), name, dtype))
 
+    def widen_column(self, name: str, dtype: str) -> None:
+        """Promote a column to a wider type (Iceberg's safe-evolution set:
+        int→bigint, float→double, decimal precision growth at the same
+        scale).  Data files keep their written type; readers cast on the
+        id-mapped load — metadata-only, like add/rename.  Idempotent, and
+        anything outside the safe set (narrowing, cross-family) raises:
+        a lossy cast silently corrupting 10^10 rows is the failure mode
+        this guard exists for."""
+        for i, c in enumerate(self.columns):
+            if c.name != name:
+                continue
+            if c.dtype == dtype:
+                return  # idempotent re-apply
+            if not _widens(c.dtype, dtype):
+                raise ValueError(f"illegal widen {c.dtype!r} → {dtype!r} for column {name!r}")
+            self.columns[i] = ColumnSpec(c.col_id, c.name, dtype)
+            return
+        raise ValueError(f"widen: no column {name!r} in {self.names()}")
+
     def rename_column(self, old: str, new: str) -> None:
         names = self.names()
         if old not in names:
@@ -121,6 +140,27 @@ class TableSchema:
     @staticmethod
     def from_json(cols: list[dict]) -> "TableSchema":
         return TableSchema([ColumnSpec.from_json(c) for c in cols])
+
+
+_CANON = {"long": "bigint", "integer": "int", "short": "smallint"}
+_WIDENS = {
+    ("smallint", "int"), ("smallint", "bigint"), ("int", "bigint"),
+    ("float", "double"),
+}
+
+
+def _widens(frm: str, to: str) -> bool:
+    """Iceberg's safe type-promotion set (spec §Schema Evolution):
+    int→long, float→double, decimal(P,S)→decimal(P2,S) with P2 ≥ P."""
+    frm, to = _CANON.get(frm, frm), _CANON.get(to, to)
+    if (frm, to) in _WIDENS:
+        return True
+    if frm.startswith("decimal(") and to.startswith("decimal("):
+        (p1, s1), (p2, s2) = (
+            tuple(int(x) for x in d[8:-1].split(",")) for d in (frm, to)
+        )
+        return s1 == s2 and p2 >= p1
+    return False
 
 
 def _parse_type(s: str) -> T.DataType:
@@ -147,9 +187,9 @@ def _parse_type(s: str) -> T.DataType:
 class SchemaChange:
     """One evolution step attached to an epoch (applied BEFORE its merge)."""
 
-    kind: str  # "add" | "rename"
-    name: str  # new column name (add) / old name (rename)
-    dtype: str | None = None  # for add
+    kind: str  # "add" | "rename" | "widen"
+    name: str  # new column name (add) / old name (rename) / column (widen)
+    dtype: str | None = None  # for add / widen (the new, wider type)
     new_name: str | None = None  # for rename
 
     def to_json(self) -> dict:
@@ -167,6 +207,10 @@ def apply_changes(schema: TableSchema, changes: list[SchemaChange]) -> TableSche
             out.add_column(ch.name, ch.dtype or "string")
         elif ch.kind == "rename":
             out.rename_column(ch.name, ch.new_name or ch.name)
+        elif ch.kind == "widen":
+            if not ch.dtype:
+                raise ValueError("widen requires dtype")
+            out.widen_column(ch.name, ch.dtype)
         else:
             raise ValueError(f"unknown schema change kind {ch.kind!r}")
     return out
