@@ -92,17 +92,49 @@ def _vname(version: int) -> str:
     return f"v{version:08d}.json"
 
 
-def publish(table_path: str, manifest: Manifest) -> None:
-    """Atomic write-then-rename publish of a manifest version."""
+class CommitConflictError(RuntimeError):
+    """Another writer published this manifest version first.  The losing
+    commit must NOT be retried blindly: reload the table state and decide —
+    a racing twin of the same epoch means the work is already committed
+    (skip); a divergent concurrent write means the caller's snapshot is
+    stale and the operation must be re-planned on the new current version.
+    This is the filesystem analog of Iceberg's metadata-pointer CAS."""
+
+
+def publish(table_path: str, manifest: Manifest, overwrite: bool = False) -> None:
+    """Atomic compare-and-swap publish of a manifest version.
+
+    The manifest is fully written + fsynced to a temp name, then
+    ``os.link``ed to its final ``v{N}.json`` — an atomic
+    create-if-not-exists on POSIX, so of two writers racing to commit the
+    same version exactly one wins and the other raises
+    ``CommitConflictError`` (a plain rename would let the last writer
+    silently clobber the first commit's bucket pointers).
+
+    ``overwrite=True`` is reserved for same-version METADATA rewrites that
+    do not move the table state (e.g. expire_snapshots tagging a retained
+    manifest schema-only); table-state commits must never pass it.
+    """
     d = _mdir(table_path)
     os.makedirs(d, exist_ok=True)
     final = os.path.join(d, _vname(manifest.version))
-    tmp = final + ".tmp"
+    pid = os.getpid()
+    tmp = f"{final}.{pid}.tmp"
     with open(tmp, "w") as f:
         json.dump(manifest.to_json(), f, indent=1)
         f.flush()
         os.fsync(f.fileno())
-    os.rename(tmp, final)  # atomic on POSIX
+    if overwrite:
+        os.rename(tmp, final)  # atomic on POSIX
+        return
+    try:
+        os.link(tmp, final)  # atomic create-if-not-exists
+    except FileExistsError:
+        raise CommitConflictError(
+            f"manifest v{manifest.version} already published at {table_path}"
+        ) from None
+    finally:
+        os.unlink(tmp)
 
 
 def current_version(table_path: str) -> int | None:

@@ -717,9 +717,28 @@ class HadoopParquetSink:
         if stage:
             mf.publish_staged(self.table_path, out_manifest)
             return {**metrics, "staged": True, "staged_version": new_version}
-        mf.publish(self.table_path, out_manifest)
-        return metrics
+        return self._commit_merge(out_manifest, epoch, metrics)
 
+
+    def _commit_merge(self, out_manifest: "mf.Manifest", epoch: int, metrics: dict) -> dict:
+        """CAS-publish a merge snapshot.  Losing the race to a concurrent
+        writer that committed the SAME epoch (a racing twin after a crashy
+        restart, a zombie driver) is exactly-once doing its job — report a
+        skip, never clobber.  Losing to a DIVERGENT write means this merge
+        was planned on a stale snapshot; its data files reference a parent
+        the table has moved past, so surface the conflict for a re-run."""
+        try:
+            mf.publish(self.table_path, out_manifest)
+        except mf.CommitConflictError:
+            m2 = self.manifest()
+            if mf.epoch_already_applied(m2.last_committed_epoch, epoch):
+                return {
+                    "skipped": True,
+                    "epoch": epoch,
+                    "reason": "lost commit race; epoch applied by a concurrent writer",
+                }
+            raise
+        return metrics
 
     def _merge_mor(
         self,
@@ -881,8 +900,7 @@ class HadoopParquetSink:
         if stage:
             mf.publish_staged(self.table_path, out_manifest)
             return {**metrics, "staged": True, "staged_version": new_version}
-        mf.publish(self.table_path, out_manifest)
-        return metrics
+        return self._commit_merge(out_manifest, epoch, metrics)
 
     # -- write-audit-publish (WAP) --------------------------------------------
 
@@ -1321,7 +1339,9 @@ class HadoopParquetSink:
             m = mf.load(self.table_path, v)
             if not m.metrics.get("schema_only_retained"):
                 m.metrics["schema_only_retained"] = True
-                mf.publish(self.table_path, m)
+                # same-version metadata tag, not a state change — the one
+                # sanctioned overwrite publish
+                mf.publish(self.table_path, m, overwrite=True)
 
         # per-bucket-dir GC of unreferenced data
         deleted_dirs = 0

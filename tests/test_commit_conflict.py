@@ -1,0 +1,139 @@
+"""Optimistic-concurrency commits (Iceberg metadata-pointer CAS parity).
+
+``manifest.publish`` is an atomic create-if-not-exists: of two writers
+racing to commit the same snapshot version, exactly one wins.  A losing
+merge that raced a twin of the SAME epoch reports a skip (exactly-once);
+a losing merge that raced a DIVERGENT write surfaces CommitConflictError
+for a re-plan.  Before this, a plain rename let the last writer silently
+clobber the first commit's bucket pointers.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from jurisprudencia_privada_etl_spark.plans import manifest as mf
+from jurisprudencia_privada_etl_spark.plans.replay import ReplayConfig, process_epoch
+from jurisprudencia_privada_etl_spark.plans.sink import HadoopParquetSink
+from jurisprudencia_privada_etl_spark.schemas import TARGET_SCHEMA, TableSchema
+
+from tests.test_fixtures import make_log
+
+
+def _manifest(version, epoch, parent, schema):
+    return mf.Manifest(
+        version=version,
+        last_committed_epoch=epoch,
+        schema=schema,
+        buckets={},
+        n_buckets=64,
+        metrics={"who": f"writer-of-v{version}"},
+        parent_version=parent,
+    )
+
+
+def test_publish_same_version_raises_and_preserves_winner(tmp_path):
+    table = str(tmp_path / "t")
+    schema = TableSchema.from_struct(TARGET_SCHEMA)
+    mf.publish(table, _manifest(1, 0, 0, schema))
+    with pytest.raises(mf.CommitConflictError):
+        mf.publish(table, _manifest(1, 5, 0, schema))
+    m = mf.load(table, 1)
+    assert m.last_committed_epoch == 0  # first writer's commit intact
+    assert m.metrics["who"] == "writer-of-v1"
+    # the loser's temp file must not linger
+    import os
+
+    leftovers = [f for f in os.listdir(f"{table}/{mf.MANIFEST_DIR}") if f.endswith(".tmp")]
+    assert leftovers == []
+
+
+def test_publish_overwrite_rewrites_metadata_in_place(tmp_path):
+    table = str(tmp_path / "t")
+    schema = TableSchema.from_struct(TARGET_SCHEMA)
+    mf.publish(table, _manifest(1, 0, 0, schema))
+    tagged = _manifest(1, 0, 0, schema)
+    tagged.metrics["schema_only_retained"] = True
+    mf.publish(table, tagged, overwrite=True)
+    assert mf.load(table, 1).metrics["schema_only_retained"] is True
+
+
+def _race(monkeypatch, sink, competing_epoch):
+    """Arm a one-shot race: the next merge's own publish is preceded by a
+    competing writer committing the same version number."""
+    original = mf.publish
+    fired = {"done": False}
+
+    def wrapper(table_path, manifest, overwrite=False):
+        if not fired["done"] and not overwrite:
+            fired["done"] = True
+            original(
+                table_path,
+                _manifest(
+                    manifest.version, competing_epoch, manifest.parent_version, manifest.schema
+                ),
+            )
+        return original(table_path, manifest, overwrite=overwrite)
+
+    monkeypatch.setattr(mf, "publish", wrapper)
+
+
+def test_losing_race_to_same_epoch_twin_reports_skip(spark, tmp_path, monkeypatch):
+    """Two drivers replaying the same changelog race epoch 0: the loser
+    must land on the exactly-once skip path, and the table state is the
+    winner's commit."""
+    path = str(tmp_path / "t")
+    sink = HadoopParquetSink(spark, path)
+    sink.create(TableSchema.from_struct(TARGET_SCHEMA))
+    _race(monkeypatch, sink, competing_epoch=0)
+    res = process_epoch(
+        spark, sink, make_log(spark, [(0, 1, "I", "r1", "a.py", "c1", "py", "v1")]), 0,
+        ReplayConfig(),
+    )
+    assert res.get("skipped") is True
+    assert "race" in res["reason"]
+    assert sink.manifest().last_committed_epoch == 0
+
+
+def test_losing_race_to_divergent_write_raises(spark, tmp_path, monkeypatch):
+    """The competing commit did NOT apply this epoch (e.g. a concurrent
+    maintenance snapshot): the merge's parent is stale — it must raise,
+    never silently clobber or silently skip."""
+    path = str(tmp_path / "t")
+    sink = HadoopParquetSink(spark, path)
+    sink.create(TableSchema.from_struct(TARGET_SCHEMA))
+    _race(monkeypatch, sink, competing_epoch=-1)  # competing write, epoch NOT applied
+    with pytest.raises(mf.CommitConflictError):
+        process_epoch(
+            spark, sink, make_log(spark, [(0, 1, "I", "r1", "a.py", "c1", "py", "v1")]), 0,
+            ReplayConfig(),
+        )
+    # table state is the winner's: version advanced, epoch still unapplied
+    m = sink.manifest()
+    assert m.last_committed_epoch == -1
+    # a plain re-run on the fresh snapshot converges
+    monkeypatch.setattr(mf, "publish", mf.publish)  # disarm (no-op set)
+    res = process_epoch(
+        spark, sink, make_log(spark, [(0, 1, "I", "r1", "a.py", "c1", "py", "v1")]), 0,
+        ReplayConfig(),
+    )
+    assert res.get("skipped") is not True
+    assert sink.manifest().last_committed_epoch == 0
+    assert sink.load().count() == 1
+
+
+def test_mor_merge_loses_race_reports_skip(spark, tmp_path, monkeypatch):
+    path = str(tmp_path / "t")
+    sink = HadoopParquetSink(spark, path, write_mode="mor")
+    sink.create(TableSchema.from_struct(TARGET_SCHEMA))
+    # epoch 0 lands a base; the raced epoch 1 exercises _merge_mor's commit
+    process_epoch(
+        spark, sink, make_log(spark, [(0, 1, "I", "r1", "a.py", "c1", "py", "v1")]), 0,
+        ReplayConfig(),
+    )
+    _race(monkeypatch, sink, competing_epoch=1)
+    res = process_epoch(
+        spark, sink, make_log(spark, [(1, 2, "U", "r1", "a.py", "c2", "py", "v2")]), 1,
+        ReplayConfig(),
+    )
+    assert res.get("skipped") is True and "race" in res["reason"]
