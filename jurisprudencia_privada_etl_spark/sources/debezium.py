@@ -104,3 +104,67 @@ def parse_debezium(
     ]
     cols += [image.getField(f.name).alias(f.name) for f in row_schema.fields]
     return df.select(*cols)
+
+
+def to_debezium(
+    feed: DataFrame,
+    row_schema: T.StructType = TARGET_SCHEMA,
+    keys: list[str] | None = None,
+    db: str = "lake",
+    table: str = "t",
+) -> DataFrame:
+    """CDC-out: serialize a change feed (Delta-CDF shape, from
+    ``operators/change_feed``) to Debezium envelope JSON — the other half
+    of the interchange ``parse_debezium`` consumes, so the engine's tables
+    are a standards-shaped CDC *source* for any downstream consumer (Kafka
+    Connect sinks, another instance of this engine, Debezium tooling).
+
+    A feed is a snapshot diff, so each key carries at most one change;
+    the update pre/post image pair folds into ONE envelope (Debezium
+    semantics: ``before`` + ``after`` on a single ``u`` event) with one
+    map-side-combining groupBy.  ``source.lsn`` carries the row ordinal —
+    ``parse_debezium(to_debezium(feed))`` round-trips ordinals, ops and
+    images exactly (property-tested), so a replica fed over the envelope
+    converges identically to one fed ``feed_as_changelog`` directly.
+    Entirely JVM-side (struct/when/to_json): no Python in the row path.
+
+    Returns one column ``value`` (the JSON string), Kafka-producer shaped.
+    """
+    from jurisprudencia_privada_etl_spark.operators.change_feed import CHANGE_TYPE_COLUMN
+    from jurisprudencia_privada_etl_spark.schemas import KEY_COLUMNS
+
+    keys = keys or KEY_COLUMNS
+    names = [f.name for f in row_schema.fields]
+    ct = F.col(CHANGE_TYPE_COLUMN)
+    img = F.struct(*[F.col(n) for n in names])
+    null_img = F.lit(None).cast(
+        T.StructType([T.StructField(f.name, f.dataType, True) for f in row_schema.fields])
+    )
+    pre = F.when(ct.isin("delete", "update_preimage"), img).otherwise(null_img)
+    post = F.when(ct.isin("insert", "update_postimage"), img).otherwise(null_img)
+    op = (
+        F.when(ct == "insert", F.lit("c"))
+        .when(ct == "delete", F.lit("d"))
+        .otherwise(F.lit("u"))  # either update image row maps to one 'u'
+    )
+    agg = feed.groupBy(*keys).agg(
+        F.max(F.struct(pre.isNotNull().alias("_has"), pre.alias("v"))).getField("v").alias("before"),
+        F.max(F.struct(post.isNotNull().alias("_has"), post.alias("v"))).getField("v").alias("after"),
+        F.max(op).alias("_op"),
+        F.max(F.col("ordinal").cast("long")).alias("_lsn"),
+    )
+    envelope = F.struct(
+        F.struct(
+            F.col("before"),
+            F.col("after"),
+            F.struct(
+                F.lit(None).cast("long").alias("ts_ms"),
+                F.col("_lsn").alias("lsn"),
+                F.lit(db).alias("db"),
+                F.lit(table).alias("table"),
+            ).alias("source"),
+            F.col("_op").alias("op"),
+            F.lit(None).cast("long").alias("ts_ms"),
+        ).alias("payload")
+    )
+    return agg.select(F.to_json(envelope).alias("value"))
