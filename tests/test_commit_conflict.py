@@ -137,3 +137,29 @@ def test_mor_merge_loses_race_reports_skip(spark, tmp_path, monkeypatch):
         ReplayConfig(),
     )
     assert res.get("skipped") is True and "race" in res["reason"]
+
+
+def test_reader_is_snapshot_isolated_across_concurrent_commits(spark, tmp_path):
+    """A reader planned at version V still collects V's exact rows after
+    later merges AND a compaction rewrite land — copy-on-write means a
+    snapshot's files are immutable until expire_snapshots reclaims them,
+    so long-running queries never see torn state on a live table."""
+    path = str(tmp_path / "t")
+    sink = HadoopParquetSink(spark, path)
+    sink.create(TableSchema.from_struct(TARGET_SCHEMA))
+    cfg = ReplayConfig()
+    process_epoch(
+        spark, sink, make_log(spark, [(0, 1, "I", "r1", "a.py", "c1", "py", "v1"),
+                                      (0, 2, "I", "r1", "b.py", "c2", "ts", "v2")]), 0, cfg
+    )
+    v = sink.manifest().version
+    reader = sink.load(version=v)  # planned now, collected after the commits
+    process_epoch(
+        spark, sink, make_log(spark, [(1, 3, "U", "r1", "a.py", "c3", "py", "v1-new"),
+                                      (1, 4, "D", "r1", "b.py", None, None, None)]), 1, cfg
+    )
+    sink.compact(target_files_per_bucket=1, min_files=0)
+    got = {(r["path"], r["content"]) for r in reader.collect()}
+    assert got == {("a.py", "v1"), ("b.py", "v2")}
+    now = {(r["path"], r["content"]) for r in sink.load().collect()}
+    assert now == {("a.py", "v1-new")}
