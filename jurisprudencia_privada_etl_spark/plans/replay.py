@@ -71,6 +71,14 @@ class ReplayConfig:
     # <table>/_conflicts/epoch=N (S14 — the reference's Current/New conflict
     # index, report.ts:43-110).  None/[] disables the report.
     conflict_fields: list[str] = field(default_factory=list)
+    # auto-compaction policy (Delta-style auto OPTIMIZE): after each
+    # committed epoch, fold any bucket whose file count exceeds this
+    # threshold (merge-on-read delta stacks always fold).  The check is a
+    # driver-side directory listing — a no-op epoch costs no Spark job —
+    # and the fold itself rewrites only the offending buckets.  At 10^10
+    # events this is what keeps the read-side file count bounded without
+    # an operator remembering to schedule --compact.  None disables.
+    auto_compact_files_per_bucket: int | None = None
     # write-audit-publish: when set, every epoch merges with stage=True and
     # this callable (sink, metrics) -> bool decides publish vs abort.  A
     # rejected epoch aborts its staged snapshot and raises
@@ -272,7 +280,18 @@ def _pipelined_epochs(spark, sink, cfg, pending: list[int], batch_of) -> None:
             stats = fut.result()
             if i + 1 < len(pending):
                 fut = pool.submit(stats_of, pending[i + 1])
-            process_epoch(spark, sink, batch_of(e), e, cfg, stats=stats)
+            r = process_epoch(spark, sink, batch_of(e), e, cfg, stats=stats)
+            if (
+                cfg.auto_compact_files_per_bucket is not None
+                and not r.get("skipped")
+            ):
+                # threshold-gated: compact() lists bucket dirs driver-side
+                # and returns without a snapshot when nothing exceeds it
+                sink.compact(
+                    target_files_per_bucket=cfg.files_per_bucket,
+                    min_files=cfg.auto_compact_files_per_bucket,
+                    fold_deltas=False,  # MoR stacks fold at the same depth bar
+                )
 
 
 def replay_dataframe(

@@ -1177,6 +1177,7 @@ class HadoopParquetSink:
         target_files_per_bucket: int = 1,
         min_files: int = 2,
         zorder: list[str] | None = None,
+        fold_deltas: bool = True,
     ) -> dict:
         """Small-file compaction (the Iceberg ``rewrite_data_files`` analog).
 
@@ -1216,13 +1217,16 @@ class HadoopParquetSink:
                 for f in os.listdir(os.path.join(self.table_path, rel))
                 if f.startswith("part-") and f.endswith(".parquet")
             )
-            # merge-on-read buckets ALWAYS fold: compaction is what pays
-            # down their read-side resolution window.  A zorder request
-            # rewrites every bucket — re-laying-out rows is the job even
-            # when the file count is already at target.
+            # merge-on-read buckets fold by default: compaction is what pays
+            # down their read-side resolution window.  ``fold_deltas=False``
+            # (the replay's auto-compact policy) defers them to the same
+            # file-count threshold as plain buckets, so MoR keeps its low
+            # write amplification until a stack is actually deep.  A zorder
+            # request rewrites every bucket — re-laying-out rows is the job
+            # even when the file count is already at target.
             if (
                 zorder
-                or entry.get("deltas")
+                or (fold_deltas and entry.get("deltas"))
                 or n_files > max(min_files, target_files_per_bucket)
             ):
                 affected.append(int(b))

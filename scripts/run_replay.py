@@ -65,6 +65,17 @@ def main() -> None:
     ap.add_argument("--purge-ordinal", type=int,
                     help="tombstone ordinal for --delete-where (must exceed the "
                          "changelog head so stale replays cannot resurrect)")
+    ap.add_argument("--auto-compact", type=int, metavar="N",
+                    help="after each committed epoch, fold any bucket whose "
+                         "file count exceeds N (Delta-style auto OPTIMIZE; "
+                         "merge-on-read delta stacks fold at the same bar)")
+    ap.add_argument("--emit-feed", metavar="FROM:TO",
+                    help="CDC-out: write the row-level change feed between two "
+                         "snapshot versions, then exit (requires --feed-out)")
+    ap.add_argument("--feed-out", help="output path for --emit-feed")
+    ap.add_argument("--feed-format", choices=["cdf", "debezium"], default="cdf",
+                    help="cdf: Delta-CDF-shaped parquet rows; debezium: "
+                         "envelope JSON text (Kafka-producer shaped)")
     ap.add_argument("--generate", type=int, default=0, help="generate N synthetic events first (testing)")
     ap.add_argument("--default-year", type=int, default=2026)
     ap.add_argument(
@@ -111,7 +122,28 @@ def main() -> None:
             else []
         ),
         audit_gate=audit_gate,
+        auto_compact_files_per_bucket=args.auto_compact,
     )
+
+    if args.emit_feed is not None:
+        if not args.feed_out:
+            sys.exit("--emit-feed requires --feed-out")
+        from jurisprudencia_privada_etl_spark.operators.change_feed import change_feed
+        from jurisprudencia_privada_etl_spark.sources.debezium import to_debezium
+
+        sink = HadoopParquetSink(spark, args.table, n_buckets=args.n_buckets)
+        v_from, v_to = (int(v) for v in args.emit_feed.split(":", 1))
+        feed = change_feed(sink, v_from, v_to)
+        if args.feed_format == "debezium":
+            wire = to_debezium(feed)
+            wire.write.mode("overwrite").text(args.feed_out)
+            n = spark.read.text(args.feed_out).count()
+        else:
+            feed.write.mode("overwrite").parquet(args.feed_out)
+            n = spark.read.parquet(args.feed_out).count()
+        print(json.dumps({"emit_feed": {"from": v_from, "to": v_to,
+                                        "format": args.feed_format, "rows": n}}))
+        return
 
     maintenance = (
         args.vacuum_below is not None
