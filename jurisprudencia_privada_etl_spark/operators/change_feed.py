@@ -23,6 +23,9 @@ engine at this scale additionally needs" family (SURVEY.md §8).
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -262,3 +265,58 @@ def change_feed(
         .withColumn("_from_version", F.lit(from_version))
         .withColumn("_to_version", F.lit(m1.version))
     )
+
+
+# -- consumer cursors (CDC-out offset tracking / consumer groups) -------------
+
+CONSUMERS_DIR = os.path.join("_manifest", "consumers")
+
+
+def consumer_cursor(sink, consumer: str) -> int | None:
+    """Last snapshot version shipped to ``consumer``, or None (never fed)."""
+    p = os.path.join(sink.table_path, CONSUMERS_DIR, f"{consumer}.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return int(json.load(f)["version"])
+
+
+def advance_consumer(sink, consumer: str, version: int) -> None:
+    """Record that ``consumer`` has been shipped everything up to
+    ``version``.  Atomic write-then-rename; monotonic (a cursor never moves
+    backwards — a stale duplicate shipper cannot rewind a newer cursor)."""
+    cur = consumer_cursor(sink, consumer)
+    if cur is not None and version < cur:
+        raise ValueError(f"cursor for {consumer!r} is at v{cur}; refusing rewind to v{version}")
+    d = os.path.join(sink.table_path, CONSUMERS_DIR)
+    os.makedirs(d, exist_ok=True)
+    final = os.path.join(d, f"{consumer}.json")
+    tmp = f"{final}.{os.getpid()}.tmp"
+    with open(tmp, "w") as f:
+        json.dump({"consumer": consumer, "version": version}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, final)
+
+
+def feed_for_consumer(sink, consumer: str, **feed_kwargs):
+    """The next feed window for a named consumer: (feed, from_v, to_v).
+
+    A never-seen consumer starts at version 0 — the diff against the empty
+    create snapshot IS the bootstrap (every live row as an insert), so new
+    consumers need no separate snapshot path.  The caller ships the feed,
+    then calls ``advance_consumer(sink, consumer, to_v)``; a crash between
+    the two re-emits the SAME window, which the envelope/changelog apply
+    path absorbs idempotently (LWW ordinal guard) — at-least-once shipping,
+    exactly-once effect.  Returns (None, v, v) when the consumer is already
+    caught up.
+    """
+    from_v = consumer_cursor(sink, consumer) or 0
+    to_v = sink.manifest().version
+    if to_v <= from_v:
+        return None, from_v, from_v
+    if from_v == 0:
+        # bootstrap diff-from-empty emits no deletes, so a vacuum anywhere
+        # in history cannot lose one — the guard doesn't apply
+        feed_kwargs.setdefault("on_vacuum", "allow")
+    return change_feed(sink, from_v, to_v, **feed_kwargs), from_v, to_v

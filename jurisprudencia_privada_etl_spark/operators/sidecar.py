@@ -89,9 +89,8 @@ def parse_sidecar_pages(pages: list[pd.DataFrame], base_ordinal: int = 0) -> pd.
         header = dedupe_headers([clean_cell(h) or "" for h in page.iloc[0]])
         body = page.iloc[1:].reset_index(drop=True)
         body.columns = header
-        # DataFrame.map is the element-wise op from pandas 2.1+; applymap is
-        # its deprecated pre-2.1 name (kept as the fallback for old pandas)
-        frames.append(body.map(clean_cell) if hasattr(body, "map") else body.applymap(clean_cell))
+        # element-wise clean; pandas >= 2.1 (pinned transitively by pyspark 4)
+        frames.append(body.map(clean_cell))
     if not frames:
         return pd.DataFrame()
     out = pd.concat(frames, ignore_index=True)

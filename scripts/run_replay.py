@@ -72,6 +72,11 @@ def main() -> None:
     ap.add_argument("--emit-feed", metavar="FROM:TO",
                     help="CDC-out: write the row-level change feed between two "
                          "snapshot versions, then exit (requires --feed-out)")
+    ap.add_argument("--consumer", metavar="NAME",
+                    help="CDC-out consumer group: emit everything since NAME's "
+                         "cursor (first call bootstraps the full state), advance "
+                         "the cursor after the write, then exit (requires "
+                         "--feed-out; mutually exclusive with --emit-feed)")
     ap.add_argument("--feed-out", help="output path for --emit-feed")
     ap.add_argument("--feed-format", choices=["cdf", "debezium"], default="cdf",
                     help="cdf: Delta-CDF-shaped parquet rows; debezium: "
@@ -125,15 +130,28 @@ def main() -> None:
         auto_compact_files_per_bucket=args.auto_compact,
     )
 
-    if args.emit_feed is not None:
+    if args.emit_feed is not None or args.consumer is not None:
         if not args.feed_out:
-            sys.exit("--emit-feed requires --feed-out")
-        from jurisprudencia_privada_etl_spark.operators.change_feed import change_feed
+            sys.exit("--emit-feed/--consumer requires --feed-out")
+        if args.emit_feed is not None and args.consumer is not None:
+            sys.exit("--emit-feed and --consumer are mutually exclusive")
+        from jurisprudencia_privada_etl_spark.operators.change_feed import (
+            advance_consumer,
+            change_feed,
+            feed_for_consumer,
+        )
         from jurisprudencia_privada_etl_spark.sources.debezium import to_debezium
 
         sink = HadoopParquetSink(spark, args.table, n_buckets=args.n_buckets)
-        v_from, v_to = (int(v) for v in args.emit_feed.split(":", 1))
-        feed = change_feed(sink, v_from, v_to)
+        if args.consumer is not None:
+            feed, v_from, v_to = feed_for_consumer(sink, args.consumer)
+            if feed is None:
+                print(json.dumps({"emit_feed": {"consumer": args.consumer,
+                                                "caught_up_at": v_from, "rows": 0}}))
+                return
+        else:
+            v_from, v_to = (int(v) for v in args.emit_feed.split(":", 1))
+            feed = change_feed(sink, v_from, v_to)
         if args.feed_format == "debezium":
             wire = to_debezium(feed)
             wire.write.mode("overwrite").text(args.feed_out)
@@ -141,8 +159,14 @@ def main() -> None:
         else:
             feed.write.mode("overwrite").parquet(args.feed_out)
             n = spark.read.parquet(args.feed_out).count()
-        print(json.dumps({"emit_feed": {"from": v_from, "to": v_to,
-                                        "format": args.feed_format, "rows": n}}))
+        if args.consumer is not None:
+            # advance AFTER the write lands: a crash before this line re-emits
+            # the same window, which downstream apply absorbs idempotently
+            advance_consumer(sink, args.consumer, v_to)
+        out = {"from": v_from, "to": v_to, "format": args.feed_format, "rows": n}
+        if args.consumer is not None:
+            out["consumer"] = args.consumer
+        print(json.dumps({"emit_feed": out}))
         return
 
     maintenance = (
