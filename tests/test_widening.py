@@ -166,3 +166,37 @@ def test_iceberg_sink_widen_issues_alter_column_type():
     assert any(
         s == "ALTER TABLE lake.db.t ALTER COLUMN stars TYPE bigint" for s in fake.statements
     )
+
+
+def test_change_feed_across_widen_boundary(spark, tmp_path):
+    """A feed window spanning a widen coerces the old (narrow) snapshot's
+    image to the new type — consumers see one consistent schema and the
+    preimage values are intact."""
+    from jurisprudencia_privada_etl_spark.operators.change_feed import change_feed
+
+    path = str(tmp_path / "t")
+    cfg = ReplayConfig(
+        schema_evolution={
+            0: [SchemaChange("add", "stars", dtype="int")],
+            1: [SchemaChange("widen", "stars", dtype="bigint")],
+        }
+    )
+    sink = HadoopParquetSink(spark, path)
+    sink.create(TableSchema.from_struct(TARGET_SCHEMA))
+    e0 = spark.createDataFrame(
+        [(0, 1, "I", "r1", "a.py", "c1", "py", "v1", 7)],
+        schema=_stars_schema(T.IntegerType()),
+    )
+    process_epoch(spark, sink, e0, 0, cfg)
+    v0 = sink.manifest().version
+    big = 3_000_000_000
+    e1 = spark.createDataFrame(
+        [(1, 2, "U", "r1", "a.py", "c2", "py", "v1b", big)],
+        schema=_stars_schema(T.LongType()),
+    )
+    process_epoch(spark, sink, e1, 1, cfg)
+    feed = change_feed(sink, v0, sink.manifest().version)
+    assert dict(feed.dtypes)["stars"] == "bigint"
+    rows = {r["_change_type"]: r for r in feed.collect()}
+    assert rows["update_preimage"]["stars"] == 7
+    assert rows["update_postimage"]["stars"] == big
