@@ -191,12 +191,17 @@ def bench_incremental_apply(
     write_changelog(log, clog)
 
     def version_bytes(table: str, version: int) -> int:
-        root = os.path.join(table, "data", f"v{version:08d}")
-        return sum(
-            os.path.getsize(os.path.join(d, f))
-            for d, _, files in os.walk(root)
-            for f in files
-        )
+        # data dirs are v{N:08d} or v{N:08d}-{token} (per-attempt suffix)
+        import glob as _glob
+
+        total = 0
+        for root in _glob.glob(os.path.join(table, "data", f"v{version:08d}*")):
+            total += sum(
+                os.path.getsize(os.path.join(d, f))
+                for d, _, files in os.walk(root)
+                for f in files
+            )
+        return total
 
     base = os.path.join(workdir, "base")
     cfg = {"cow": ReplayConfig(n_salts=16, n_buckets=128, files_per_bucket=2),

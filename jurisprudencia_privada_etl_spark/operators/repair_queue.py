@@ -114,8 +114,7 @@ def replace_keys(sink: HadoopParquetSink, rows: DataFrame) -> dict:
     target = sink.load(buckets=touched, include_tombstones=True)
     kept = target.join(u.select(*KEY_COLUMNS), list(KEY_COLUMNS), "left_anti")
     merged = kept.unionByName(u.select(*kept.columns))
-    data_rel = os.path.join("data", f"v{new_version:08d}")
-    data_dir = os.path.join(sink.table_path, data_rel)
+    data_rel, data_dir = sink._new_data_dir(new_version)
     (
         merged.repartition(max(1, len(touched)), BUCKET_COLUMN)
         .write.mode("overwrite")

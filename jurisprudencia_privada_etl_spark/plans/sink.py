@@ -44,6 +44,7 @@ from __future__ import annotations
 import os
 import shutil
 import sys
+import uuid
 import time
 from typing import Any
 
@@ -230,6 +231,32 @@ class HadoopParquetSink:
             ),
         )
         return new_schema
+
+    # -- physical layout --------------------------------------------------------
+
+    @staticmethod
+    def _dir_version(name: str) -> int | None:
+        """Leading snapshot version of a data dir name ``v{N:08d}[-token]``
+        (None for anything else)."""
+        if not name.startswith("v"):
+            return None
+        head = name[1:].split("-", 1)[0]
+        return int(head) if head.isdigit() else None
+
+    def _new_data_dir(self, new_version: int) -> tuple[str, str]:
+        """(relative, absolute) data dir for one snapshot ATTEMPT.
+
+        The random token makes the dir unique per writer: two merges racing
+        the same version number write to disjoint directories, the manifest
+        CAS (mf.publish) decides whose dir the table references, and the
+        loser's dir — unreferenced, version ≤ committed — is GC'd by the
+        next ``expire_snapshots``.  Without the token, the loser's
+        ``mode("overwrite")`` write could destroy files the WINNER's
+        committed manifest points at (Iceberg solves the same hazard with
+        UUID file names)."""
+        token = uuid.uuid4().hex[:8]
+        rel = os.path.join("data", f"v{new_version:08d}-{token}")
+        return rel, os.path.join(self.table_path, rel)
 
     # -- reads ----------------------------------------------------------------
 
@@ -653,8 +680,7 @@ class HadoopParquetSink:
         # vacuum(); see BOOKKEEPING comment.
         survivors = merged
 
-        data_rel = os.path.join("data", f"v{new_version:08d}")
-        data_dir = os.path.join(self.table_path, data_rel)
+        data_rel, data_dir = self._new_data_dir(new_version)
         out = survivors.drop("_action")
         if self.merge_strategy != "window":
             # agg/join outputs are key-partitioned; lay them out per bucket.
@@ -828,8 +854,7 @@ class HadoopParquetSink:
             F.count(F.when(F.col("_matched") == 1, 1)).alias("matched_wins"),
         ).drop("_action", "_matched", "op")
 
-        data_rel = os.path.join("data", f"v{new_version:08d}")
-        data_dir = os.path.join(self.table_path, data_rel)
+        data_rel, data_dir = self._new_data_dir(new_version)
         (
             out.repartition(max(1, len(touched)), BUCKET_COLUMN)
             .write.mode("overwrite")
@@ -933,9 +958,13 @@ class HadoopParquetSink:
         if staged is None:
             return {"aborted": False}
         mf.discard_staged(self.table_path)
-        data_dir = os.path.join(self.table_path, "data", f"v{staged.version:08d}")
-        if os.path.isdir(data_dir):
-            shutil.rmtree(data_dir, ignore_errors=True)
+        # per-attempt dirs carry a token suffix; every dir at the staged
+        # version belongs to a staged attempt (strictly above committed)
+        data_root = os.path.join(self.table_path, "data")
+        if os.path.isdir(data_root):
+            for name in os.listdir(data_root):
+                if self._dir_version(name) == staged.version:
+                    shutil.rmtree(os.path.join(data_root, name), ignore_errors=True)
         return {"aborted": True, "staged_version": staged.version}
 
     def vacuum(self, retain_after_ordinal: int) -> dict:
@@ -961,8 +990,7 @@ class HadoopParquetSink:
         if not affected:
             return {"vacuumed_buckets": 0}
         keep = self.load(buckets=affected, include_tombstones=True).where(~expired)
-        data_rel = os.path.join("data", f"v{new_version:08d}")
-        data_dir = os.path.join(self.table_path, data_rel)
+        data_rel, data_dir = self._new_data_dir(new_version)
         (
             keep.repartition(max(1, len(affected)), BUCKET_COLUMN)
             .write.mode("overwrite")
@@ -1066,8 +1094,7 @@ class HadoopParquetSink:
                     F.when(hit_live, F.lit(None)).otherwise(F.col(name)).alias(name)
                 )
         out = rewrite.select(*cols)
-        data_rel = os.path.join("data", f"v{new_version:08d}")
-        data_dir = os.path.join(self.table_path, data_rel)
+        data_rel, data_dir = self._new_data_dir(new_version)
         (
             out.repartition(max(1, len(affected)), BUCKET_COLUMN)
             .write.mode("overwrite")
@@ -1141,8 +1168,7 @@ class HadoopParquetSink:
         new_version = m.version + 1
         full = self.load(include_tombstones=True).drop(BUCKET_COLUMN)
         out = full.withColumn(BUCKET_COLUMN, bucket_of(new_n_buckets))
-        data_rel = os.path.join("data", f"v{new_version:08d}")
-        data_dir = os.path.join(self.table_path, data_rel)
+        data_rel, data_dir = self._new_data_dir(new_version)
         (
             out.repartition(new_n_buckets, BUCKET_COLUMN)
             .write.mode("overwrite")
@@ -1235,8 +1261,7 @@ class HadoopParquetSink:
         affected.sort()
         new_version = m.version + 1
         keep = self.load(buckets=affected, include_tombstones=True)
-        data_rel = os.path.join("data", f"v{new_version:08d}")
-        data_dir = os.path.join(self.table_path, data_rel)
+        data_rel, data_dir = self._new_data_dir(new_version)
         n_parts = max(1, len(affected) * max(1, target_files_per_bucket))
         zc = None
         if zorder:
@@ -1347,13 +1372,19 @@ class HadoopParquetSink:
                 # sanctioned overwrite publish
                 mf.publish(self.table_path, m, overwrite=True)
 
-        # per-bucket-dir GC of unreferenced data
+        # per-bucket-dir GC of unreferenced data.  Only dirs at or below the
+        # COMMITTED version are candidates: an in-flight merge writes at
+        # current+1 and must never be swept; crash/CAS-loser orphans (their
+        # version number has since committed under another token) fall out
+        # here for free.
+        committed = mf.current_version(self.table_path) or 0
         deleted_dirs = 0
         data_root = os.path.join(self.table_path, "data")
         if os.path.isdir(data_root):
             for vdir in sorted(os.listdir(data_root)):
                 vpath = os.path.join(data_root, vdir)
-                if not os.path.isdir(vpath):
+                dv = self._dir_version(vdir)
+                if not os.path.isdir(vpath) or dv is None or dv > committed:
                     continue
                 for bdir in os.listdir(vpath):
                     rel = os.path.normpath(os.path.join("data", vdir, bdir))

@@ -139,6 +139,69 @@ def test_mor_merge_loses_race_reports_skip(spark, tmp_path, monkeypatch):
     assert res.get("skipped") is True and "race" in res["reason"]
 
 
+def test_losing_writer_data_files_never_clobber_winner(spark, tmp_path, monkeypatch):
+    """The hazard tokenized data dirs exist for: writer A commits v2, then
+    a slower writer B — which planned the same v2 before A landed — WRITES
+    its data files and only then loses the manifest CAS.  With a shared
+    ``data/v2`` dir, B's ``mode("overwrite")`` write would destroy the
+    files A's committed manifest points at; per-attempt ``v2-{token}``
+    dirs keep the writes disjoint.  B's orphan dir (version ≤ committed,
+    unreferenced) is then reclaimed by expire_snapshots."""
+    path = str(tmp_path / "t")
+    sink = HadoopParquetSink(spark, path)
+    sink.create(TableSchema.from_struct(TARGET_SCHEMA))
+    cfg = ReplayConfig()
+    process_epoch(
+        spark, sink, make_log(spark, [(0, 1, "I", "r1", "a.py", "c1", "py", "base")]), 0, cfg
+    )
+
+    winner = HadoopParquetSink(spark, path)
+    original = HadoopParquetSink._new_data_dir
+    fired = {"done": False}
+
+    def wrapper(self, new_version):
+        # one-shot: the loser reaches its data write → the winner's full
+        # merge (data + manifest CAS) lands first, then the loser writes
+        if not fired["done"]:
+            fired["done"] = True
+            process_epoch(
+                spark, winner,
+                make_log(spark, [(1, 2, "U", "r1", "a.py", "c2", "py", "winner")]), 1, cfg,
+            )
+        return original(self, new_version)
+
+    monkeypatch.setattr(HadoopParquetSink, "_new_data_dir", wrapper)
+    res = process_epoch(
+        spark, sink, make_log(spark, [(1, 3, "U", "r1", "a.py", "c3", "py", "loser")]), 1, cfg
+    )
+    monkeypatch.setattr(HadoopParquetSink, "_new_data_dir", original)
+    assert res.get("skipped") is True and "race" in res["reason"]
+
+    # the winner's committed files survived the loser's later write
+    import os
+
+    rows = {(r["path"], r["content"]) for r in sink.load().collect()}
+    assert rows == {("a.py", "winner")}
+    m = sink.manifest()
+    assert m.version == 2
+    v2_dirs = [
+        d for d in os.listdir(os.path.join(path, "data"))
+        if HadoopParquetSink._dir_version(d) == 2
+    ]
+    assert len(v2_dirs) == 2, "winner's dir + loser's orphan must both exist pre-GC"
+
+    # expire reclaims the orphan but keeps every referenced dir readable
+    sink.expire_snapshots(keep_last=1)
+    referenced = {ref["path"].split(os.sep)[1] for ref in sink.manifest().buckets.values()}
+    survivors = {
+        d for d in os.listdir(os.path.join(path, "data"))
+        if HadoopParquetSink._dir_version(d) == 2
+        and any(os.scandir(os.path.join(path, "data", d)))
+    }
+    assert survivors == referenced
+    assert {(r["path"], r["content"]) for r in sink.load().collect()} == {("a.py", "winner")}
+
+
 def test_reader_is_snapshot_isolated_across_concurrent_commits(spark, tmp_path):
     """A reader planned at version V still collects V's exact rows after
     later merges AND a compaction rewrite land — copy-on-write means a

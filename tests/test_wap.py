@@ -71,13 +71,18 @@ def test_abort_staged_removes_data_and_allows_rerun(spark, tmp_path):
     sink = replay_dataframe(spark, log.where(F.col("epoch") <= 1), str(tmp_path / "t"))
     before = _state(sink)
     r = sink.merge(_winners(log, 2), epoch=2, stage=True)
-    data_dir = os.path.join(sink.table_path, "data", f"v{r['staged_version']:08d}")
-    assert os.path.isdir(data_dir)
+    import glob as _glob
+
+    pat = os.path.join(sink.table_path, "data", f"v{r['staged_version']:08d}*")
+    data_dirs = [p for p in _glob.glob(pat) if os.path.isdir(p)]
+    assert data_dirs
 
     out = sink.abort_staged()
     assert out["aborted"] is True
     assert sink.staged() is None
-    assert not os.path.isdir(data_dir), "aborted staged data files must be deleted"
+    assert not any(
+        os.path.isdir(p) for p in data_dirs
+    ), "aborted staged data files must be deleted"
     pd.testing.assert_frame_equal(_state(sink), before)
 
     # the epoch can re-run normally afterwards (nothing was committed)

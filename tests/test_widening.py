@@ -100,7 +100,10 @@ def test_widen_then_narrow_epoch_still_merges(spark, tmp_path):
     import glob
     import pyarrow.parquet as pq
 
-    newest = max(glob.glob(f"{path}/data/v*/"), key=lambda p: int(p.split("/v")[-1].strip("/")))
+    newest = max(
+        glob.glob(f"{path}/data/v*/"),
+        key=lambda p: int(p.split("/v")[-1].strip("/").split("-")[0]),
+    )
     files = glob.glob(f"{newest}/**/*.parquet", recursive=True)
     types = {str(pq.read_schema(f).field("stars").type) for f in files}
     assert types == {"int64"}
