@@ -950,21 +950,27 @@ class HadoopParquetSink:
         return {"published_version": staged.version, "epoch": staged.last_committed_epoch}
 
     def abort_staged(self) -> dict[str, Any]:
-        """Drop the staged snapshot and delete its data files.  Only files
-        under the staged version's own data dir are touched — a staged
-        snapshot's version is strictly above every committed one, so no
-        committed manifest can reference them."""
+        """Drop the staged snapshot and delete its data files.  Only the
+        dirs the staged manifest itself references AT ITS OWN VERSION are
+        touched: a staged snapshot carries forward committed dirs for
+        untouched buckets (never deleted here), and if a concurrent
+        writer committed the same version number while the stage sat
+        unaudited, the winner's dir is a different per-attempt token and
+        is never referenced by the staged manifest — so it survives."""
         staged = mf.load_staged(self.table_path)
         if staged is None:
             return {"aborted": False}
         mf.discard_staged(self.table_path)
-        # per-attempt dirs carry a token suffix; every dir at the staged
-        # version belongs to a staged attempt (strictly above committed)
+        own_dirs: set[str] = set()
+        for entry in staged.buckets.values():
+            for ref in (entry, *(entry.get("deltas") or [])):
+                # data/<vdir>/<bucket=..> → keep the vdir component
+                vdir = os.path.normpath(ref["path"]).split(os.sep)[1]
+                if self._dir_version(vdir) == staged.version:
+                    own_dirs.add(vdir)
         data_root = os.path.join(self.table_path, "data")
-        if os.path.isdir(data_root):
-            for name in os.listdir(data_root):
-                if self._dir_version(name) == staged.version:
-                    shutil.rmtree(os.path.join(data_root, name), ignore_errors=True)
+        for name in sorted(own_dirs):
+            shutil.rmtree(os.path.join(data_root, name), ignore_errors=True)
         return {"aborted": True, "staged_version": staged.version}
 
     def vacuum(self, retain_after_ordinal: int) -> dict:
