@@ -75,9 +75,13 @@ def bench_replay(spark, n_events: int, cpus: int, reps: int = 3) -> dict:
     # validate + conflict_fields keep the dead-letter and conflict side
     # channels ON in the benched replay so their cost is measured, not
     # fixture-only (round-2 judge item #10).
-    bare_cfg = ReplayConfig(n_salts=16, n_buckets=128, files_per_bucket=2)
+    # n_salts=0 pinned by the round-4 interleaved A/B (BENCH/ab_salt_shuffle
+    # .md): the fused window merge makes the pre-extraction salt shuffle a
+    # redundant full-content exchange (median 13.8s -> 11.4s dropping it);
+    # hot-key skew in the keyed stage is the merge shuffle's sub-salt.
+    bare_cfg = ReplayConfig(n_salts=0, n_buckets=128, files_per_bucket=2)
     chan_cfg = ReplayConfig(
-        n_salts=16, n_buckets=128, files_per_bucket=2,
+        n_salts=0, n_buckets=128, files_per_bucket=2,
         validate=True, conflict_fields=["lang", "content"],
     )
 
@@ -138,7 +142,7 @@ def bench_replay_large(spark, n_events: int, cpus: int) -> dict:
         num_partitions=max(cpus, n_events // 100_000),
     )
     write_changelog(log, clog)
-    cfg = ReplayConfig(n_salts=16, n_buckets=128, files_per_bucket=2)
+    cfg = ReplayConfig(n_salts=0, n_buckets=128, files_per_bucket=2)
     old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
@@ -204,8 +208,8 @@ def bench_incremental_apply(
         return total
 
     base = os.path.join(workdir, "base")
-    cfg = {"cow": ReplayConfig(n_salts=16, n_buckets=128, files_per_bucket=2),
-           "mor": ReplayConfig(n_salts=16, n_buckets=128, files_per_bucket=2,
+    cfg = {"cow": ReplayConfig(n_salts=0, n_buckets=128, files_per_bucket=2),
+           "mor": ReplayConfig(n_salts=0, n_buckets=128, files_per_bucket=2,
                                write_mode="mor")}
     replay(spark, clog, base, cfg["cow"], epochs=[0])
     base_rows = HadoopParquetSink(spark, base).load().count()

@@ -8,8 +8,11 @@ the *ordinal* spreads each hot key's events over ``n_salts`` tasks.
 
 Correctness invariant (SURVEY.md §7.3 item 4): salting must never change
 merge semantics.  The salt only balances the *map* stage; LWW dedup and the
-MERGE both run on the unsalted key afterwards.  ``tests/test_salting.py``
-property-tests salted ≡ unsalted output bit-for-bit.
+MERGE both run on the unsalted key afterwards.
+``tests/test_fixtures.py::test_salted_equals_unsalted`` property-tests
+salted ≡ unsalted output bit-for-bit.  With the fused "window" merge the
+pre-extraction salt shuffle is redundant (nothing keyed consumes its
+partitioning) and the benched config skips it — BENCH/ab_salt_shuffle.md.
 """
 
 from __future__ import annotations

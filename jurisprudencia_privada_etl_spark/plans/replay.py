@@ -40,6 +40,11 @@ from jurisprudencia_privada_etl_spark.sources.changelog import list_epochs, read
 
 @dataclass
 class ReplayConfig:
+    # 0 skips the pre-extraction salt shuffle (fused strategies only need
+    # the merge shuffle's files_per_bucket sub-salt for skew — see
+    # prepare_epoch_updates); >0 spreads each hot key over n_salts
+    # extraction tasks, required when use_window_lww=True or
+    # merge_strategy="join" dedups on the extraction output partitioning.
     n_salts: int = 16
     num_partitions: int | None = None  # None → shuffle.partitions + AQE coalesce
     n_buckets: int = 64
@@ -112,8 +117,21 @@ def prepare_epoch_updates(
     per-epoch LWW happens inside the merge's own shuffle (bucket window /
     key groupBy), so no separate dedup shuffle runs here — identical output,
     property-tested in tests/test_fixtures.py::test_merge_strategies_agree.
+
+    ``n_salts=0`` skips the pre-extraction shuffle entirely.  In the fused
+    path the extraction stage is key-OBLIVIOUS (per-row Arrow transforms, no
+    keyed op until the merge's own bucket shuffle), so its balance comes from
+    the scan's byte-bounded splits (``files.maxPartitionBytes``), which a
+    Zipf-hot key cannot skew; the hot-key story in the keyed stage is carried
+    by the merge shuffle's ``files_per_bucket`` sub-salt (sink.py).  Salting
+    before extraction only pays when a keyed dedup runs ON the extraction
+    output partitioning (``use_window_lww=True`` or the "join" strategy) —
+    there the salt spreads a hot key across ``n_salts`` extraction tasks.
     """
-    salted = salted_repartition(batch, cfg.num_partitions, n_salts=cfg.n_salts)
+    if cfg.n_salts <= 0:
+        salted = batch
+    else:
+        salted = salted_repartition(batch, cfg.num_partitions, n_salts=cfg.n_salts)
     extracted = extraction_stage(salted, cfg.default_year) if cfg.run_extraction else (
         salted.withColumn("content_sha", F.sha2(F.col("content").cast("string"), 256))
     )

@@ -55,10 +55,12 @@ first_round = {first_round}
 import os as _os
 shm = "/dev/shm/scaling_%d" % cpus
 _os.makedirs(shm, exist_ok=True)
-# n_buckets >> cores and files_per_bucket=4: the merge write runs
-# touched*4 ≈ 512 evenly-loaded tasks, so neither level is capped or
-# skew-tailed by the write job (round-3 sub-split; see sink.__init__).
-CFG = lambda: ReplayConfig(n_buckets=128, files_per_bucket=4)
+# n_buckets >> cores and files_per_bucket=2: the merge write runs
+# touched*2 ≈ 256 evenly-loaded tasks, so neither level is capped or
+# skew-tailed by the write job; f=2 pinned by BENCH/ab_files_per_bucket.md,
+# n_salts=0 by BENCH/ab_salt_shuffle.md (both interleaved A/Bs) — the
+# scaling config now MATCHES the headline bench.py config.
+CFG = lambda: ReplayConfig(n_salts=0, n_buckets=128, files_per_bucket=2)
 spark = get_spark("scaling-%d" % cpus, master="local[%d]" % cpus, extra_conf={{
     "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
     "spark.driver.memory": "16g",
