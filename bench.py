@@ -39,6 +39,31 @@ def force(df) -> int:
     return df.write.mode("overwrite").format("noop").save() or 0
 
 
+def calibrate(nprocs: int, sec: float = 3.0) -> float:
+    """GIL-free all-cores python burn — the host-quality tamper detector
+    (same probe as scripts/bench_scaling.py).  The sandbox's per-core
+    delivery drifts 2-4x on a minutes timescale under neighbor load;
+    brackets around the timed replay let a reader normalize a bad-window
+    headline instead of mistaking host steal for an engine regression
+    (the round-3 8.83s->10.96s lesson).  Returns Miters/s aggregate."""
+    import multiprocessing as mp
+    import time as _t
+
+    def burn(q):
+        end = _t.time() + sec
+        x = 0
+        while _t.time() < end:
+            for _ in range(10000):
+                x += 1
+        q.put(x)
+
+    q = mp.Queue()
+    ps = [mp.Process(target=burn, args=(q,)) for _ in range(nprocs)]
+    [p.start() for p in ps]
+    [p.join() for p in ps]
+    return round(sum(q.get() for _ in ps) / sec / 1e6, 1)
+
+
 def bench_replay(spark, n_events: int, cpus: int, reps: int = 3) -> dict:
     """Generate (untimed) → warmup replay (untimed: JIT, python workers,
     page cache) → ``reps`` timed replays, best kept (3: the host's per-core
@@ -109,8 +134,11 @@ def bench_replay(spark, n_events: int, cpus: int, reps: int = 3) -> dict:
         # headline: the bare replay (comparable across rounds); second row:
         # same replay with the dead-letter + conflict side channels ON so
         # their cost is measured, not fixture-only (round-2 judge item #10).
+        calib = [calibrate(cpus)]
         best, rows, times = timed_replays(bare_cfg, "bare")
+        calib.append(calibrate(cpus))
         cbest, crows, ctimes = timed_replays(chan_cfg, "chan")
+        calib.append(calibrate(cpus))
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
     shutil.rmtree(workdir, ignore_errors=True)
@@ -121,6 +149,11 @@ def bench_replay(spark, n_events: int, cpus: int, reps: int = 3) -> dict:
         "events_per_sec": round(n_events / best, 1),
         "final_rows": rows,
         "epochs": 2,
+        # host-quality brackets (Miters/s, GIL-free burn on all cores):
+        # BENCH/BASELINE.md's clean windows read ~1100-1200 at 32 threads;
+        # a replay timed inside a bracket reading far below that is
+        # host-contaminated, not an engine regression.
+        "calib_miters_per_sec": calib,
         "with_side_channels": {
             "seconds": round(cbest, 2),
             "all_runs_sec": ctimes,

@@ -171,6 +171,7 @@ def run_level(cpus: int, reps: int, wd: str, first_round: bool) -> dict:
 
 
 ROUNDS_JSON = os.path.join(REPO, "BENCH", "scaling_rounds.json")
+CONFIG_TAG = "n_salts=0,files_per_bucket=2,n_buckets=128"  # must match CFG()
 
 
 def main():
@@ -190,7 +191,10 @@ def main():
     if append and os.path.exists(ROUNDS_JSON):
         with open(ROUNDS_JSON) as f:
             prev = json.load(f)
-        if prev.get("n_events") == n_events:
+        # rounds are only comparable under the SAME replay config — refuse
+        # to mix (round-4: the benched config moved to n_salts=0/f=2, and
+        # the pre-change rounds live in scaling_rounds_r3cfg.json)
+        if prev.get("n_events") == n_events and prev.get("config", CONFIG_TAG) == CONFIG_TAG:
             pair_rounds = [
                 {int(k): v for k, v in pair.items()} for pair in prev["pair_rounds"]
             ]
@@ -203,7 +207,10 @@ def main():
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(ROUNDS_JSON, "w") as f:
-        json.dump({"n_events": n_events, "pair_rounds": pair_rounds}, f, indent=1)
+        json.dump(
+            {"n_events": n_events, "config": CONFIG_TAG, "pair_rounds": pair_rounds},
+            f, indent=1,
+        )
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
     # carry forward hand-written / appended sections (the calibration-bracket
     # note and the replica-ceiling experiment) across re-renders
