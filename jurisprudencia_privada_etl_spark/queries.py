@@ -161,9 +161,11 @@ def q_cdc_mor_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     # run_extraction=False: the document-extraction Arrow stage is benched by
     # cdc_lww_replay/the replay rows already — this query isolates the MoR
     # machinery (delta write, classification join, resolution window).
+    # n_salts=0: MoR's max_by merge reshuffles on the bare key anyway, so the
+    # pre-stage salt exchange buys nothing here either (BENCH/ab_salt_shuffle.md)
     sink = replay_dataframe(
         spark, log, table,
-        ReplayConfig(write_mode="mor", n_buckets=16, n_salts=4, run_extraction=False),
+        ReplayConfig(write_mode="mor", n_buckets=16, n_salts=0, run_extraction=False),
     )
     return sink.load().select(
         "repo", "path", "ordinal", "content",
