@@ -57,6 +57,8 @@ class ReplayConfig:
     run_extraction: bool = True
     # "window" (default): union → one bucket shuffle → per-key window; LWW,
     #   upsert and write layout share a single exchange (see sink docstring).
+    # "bucket_agg": same single exchange, winner via per-key hash max_by
+    #   instead of sort+row_number — no sort at all (see sink docstring).
     # "agg": union → groupBy(key).max_by — map-side partial agg, 2 shuffles.
     # "join": textbook full-outer-join MERGE (kept for parity testing).
     merge_strategy: str = "window"

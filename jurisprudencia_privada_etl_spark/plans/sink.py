@@ -520,6 +520,76 @@ class HadoopParquetSink:
             action.alias("_action"),
         )
 
+    def _merge_bucket_agg(
+        self, target: DataFrame, u: DataFrame, payload: list[str], n_parts: int
+    ) -> DataFrame:
+        """MERGE via ONE bucket shuffle + per-key SortAggregate — the window
+        strategy's exchange plan with WindowExec swapped for an aggregate.
+
+        Same setup as ``_merge_window``: union(target, events) repartitioned
+        by ``_bucket`` (+ the files_per_bucket sub-key) once; the winner is
+        ``max_by`` per key, grouped by (bucket, sub, key).
+        ``HashPartitioning(bucket, sub)`` satisfies the aggregation's
+        ``ClusteredDistribution`` (partitioning exprs ⊆ grouping exprs), so
+        Catalyst plans NO further exchange, and the output stays bucket-
+        partitioned — the write follows with no layout shuffle.
+
+        Measured plan reality (don't trust the hash-agg intuition): MaxBy is
+        a DECLARATIVE aggregate with a struct buffer, which HashAggregateExec
+        (fixed-width mutable buffers only) and ObjectHashAggregateExec
+        (TypedImperativeAggregate only) both reject — Spark plans
+        SortAggregate, so this strategy sorts exactly like the window path.
+        The remaining difference is what follows the sort: one streaming
+        group-merge pass emitting only winners, vs WindowExec materializing
+        row_number + a frame-max over EVERY loser row before the filter.
+        A/B'd against "window" at 1M events — see BENCH/ab_merge_strategy.md.
+
+        Tie/tombstone semantics identical to the other strategies
+        (property-tested): ordering key (ordinal, _is_target) makes the
+        TARGET win ordinal ties, matching ``u.ordinal > t.ordinal``.
+        """
+        body = [*payload, *[n for n, _ in BOOKKEEPING], BUCKET_COLUMN]
+        tt = target.select(
+            *body, F.lit(None).cast("string").alias("op"), F.lit(1).alias("_is_target")
+        )
+        uu = u.select(*body, "op", F.lit(0).alias("_is_target"))
+        both = tt.unionByName(uu)
+        f = self.files_per_bucket
+        part_cols = [BUCKET_COLUMN]
+        if f > 1:
+            # same reseeded sub-key as _merge_window (see comment there)
+            both = both.withColumn(
+                "_sub", F.pmod(F.xxhash64(F.lit(7), *[F.col(k) for k in KEY_COLUMNS]), F.lit(f))
+            )
+            part_cols = [BUCKET_COLUMN, "_sub"]
+        both = both.repartition(n_parts * f, *part_cols)
+
+        grouped = [c for c in [*body, "op"] if c not in KEY_COLUMNS and c != BUCKET_COLUMN]
+        winner = F.max_by(
+            F.struct(*grouped), F.struct(F.col("ordinal"), F.col("_is_target"))
+        ).alias("_w")
+        live_target = (F.col("_is_target") == 1) & ~F.coalesce(F.col("deleted"), F.lit(False))
+        agg = both.groupBy(*part_cols, *KEY_COLUMNS).agg(
+            winner, F.max(live_target.cast("int")).alias("_had_live_target")
+        )
+        won_by_update = F.col("_w.op").isNotNull()
+        is_del = F.coalesce(F.col("_w.deleted"), F.lit(False))
+        t_live = F.col("_had_live_target") == 1
+        action = (
+            F.when(~won_by_update, F.lit("kept"))
+            .when(is_del & t_live, F.lit("deleted"))
+            .when(is_del, F.lit("tombstone_noop"))
+            .when(t_live, F.lit("updated"))
+            .otherwise(F.lit("created"))
+        )
+        nonkey = [c for c in [*payload, *[n for n, _ in BOOKKEEPING]] if c not in KEY_COLUMNS]
+        return agg.select(
+            *KEY_COLUMNS,
+            *[F.col(f"_w.{c}").alias(c) for c in nonkey],
+            F.col(BUCKET_COLUMN).cast("int").alias(BUCKET_COLUMN),
+            action.alias("_action"),
+        )
+
     def _merge_window(self, target: DataFrame, u: DataFrame, payload: list[str], n_parts: int) -> DataFrame:
         """MERGE via ONE bucket shuffle + per-key window over the bucket.
 
@@ -661,6 +731,8 @@ class HadoopParquetSink:
             merged = self._merge_join(target, u, payload)
         elif self.merge_strategy == "window":
             merged = self._merge_window(target, u, payload, max(1, len(touched)))
+        elif self.merge_strategy == "bucket_agg":
+            merged = self._merge_bucket_agg(target, u, payload, max(1, len(touched)))
         else:
             merged = self._merge_agg(target, u, payload)
 
@@ -682,9 +754,9 @@ class HadoopParquetSink:
 
         data_rel, data_dir = self._new_data_dir(new_version)
         out = survivors.drop("_action")
-        if self.merge_strategy != "window":
+        if self.merge_strategy not in ("window", "bucket_agg"):
             # agg/join outputs are key-partitioned; lay them out per bucket.
-            # The window strategy is ALREADY bucket-partitioned — no shuffle.
+            # window/bucket_agg are ALREADY bucket-partitioned — no shuffle.
             out = out.repartition(max(1, len(touched)), BUCKET_COLUMN)
         out.write.mode("overwrite").partitionBy(BUCKET_COLUMN).parquet(data_dir)
         t = _trace(f"merge({self.merge_strategy})+write", t)

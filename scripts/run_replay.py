@@ -33,7 +33,11 @@ def main() -> None:
     ap.add_argument("--table", required=True, help="lake table path")
     ap.add_argument("--n-buckets", type=int, default=64)
     ap.add_argument("--n-salts", type=int, default=16)
-    ap.add_argument("--merge-strategy", choices=["window", "agg", "join"], default="window")
+    ap.add_argument(
+        "--merge-strategy",
+        choices=["window", "agg", "join", "bucket_agg"],
+        default="window",
+    )
     ap.add_argument(
         "--write-mode", choices=["cow", "mor"], default="cow",
         help="cow: rewrite touched buckets per epoch; mor: append per-bucket "

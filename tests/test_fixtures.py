@@ -240,11 +240,16 @@ def test_merge_strategies_agree(spark, tmp_path):
     w = replay_dataframe(spark, log, str(tmp_path / "win"),
                          ReplayConfig(merge_strategy="join", use_window_lww=True))
     bw = replay_dataframe(spark, log, str(tmp_path / "bwin"), ReplayConfig(merge_strategy="window"))
+    ba = replay_dataframe(
+        spark, log, str(tmp_path / "bagg"),
+        ReplayConfig(merge_strategy="bucket_agg", files_per_bucket=2),
+    )
     expected = oracle_reduce(pdf)
     assert_state_equal(state(a), expected)
     assert_state_equal(state(j), expected)
     assert_state_equal(state(w), expected)
     assert_state_equal(state(bw), expected)
+    assert_state_equal(state(ba), expected)
     # run counters agree across strategies, epoch by epoch
     from jurisprudencia_privada_etl_spark.plans import manifest as mf
     for v in range(1, 4):
@@ -363,7 +368,7 @@ def test_ordinal_tie_is_deterministic_across_strategies(spark, tmp_path):
         (1, 7, "I", "r1", "c.py", "c7", "py", "c-first"),
     ])
     states = {}
-    for strat in ("window", "agg", "join"):
+    for strat in ("window", "agg", "join", "bucket_agg"):
         p = str(tmp_path / strat)
         sink = replay_dataframe(spark, e0, p, ReplayConfig(merge_strategy=strat))
         replay_dataframe(spark, e1, p, ReplayConfig(merge_strategy=strat))
