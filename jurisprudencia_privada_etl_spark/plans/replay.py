@@ -40,12 +40,14 @@ from jurisprudencia_privada_etl_spark.sources.changelog import list_epochs, read
 
 @dataclass
 class ReplayConfig:
-    # 0 skips the pre-extraction salt shuffle (fused strategies only need
-    # the merge shuffle's files_per_bucket sub-salt for skew — see
-    # prepare_epoch_updates); >0 spreads each hot key over n_salts
-    # extraction tasks, required when use_window_lww=True or
-    # merge_strategy="join" dedups on the extraction output partitioning.
-    n_salts: int = 16
+    # Salting auto-engages exactly where a KEYED stage consumes the salted
+    # partitioning: None (default) resolves to 16 when a pre-merge dedup
+    # runs on the extraction output (use_window_lww=True or the "join"
+    # strategy) and to 0 for the fused strategies, whose skew story is the
+    # merge shuffle's files_per_bucket sub-salt (BENCH/ab_salt_shuffle.md —
+    # the pre-extraction exchange costs ~18% wall and buys nothing there).
+    # An explicit int overrides; 0 always skips the pre-stage shuffle.
+    n_salts: int | None = None
     num_partitions: int | None = None  # None → shuffle.partitions + AQE coalesce
     n_buckets: int = 64
     # >1 splits each bucket's merge output across f tasks/files (key-derived
@@ -93,6 +95,12 @@ class ReplayConfig:
     # over a hole); readers never see the rejected state.
     audit_gate: Any = None
 
+    def effective_n_salts(self) -> int:
+        """Resolve the n_salts=None auto default — see the field comment."""
+        if self.n_salts is not None:
+            return self.n_salts
+        return 16 if (self.use_window_lww or self.merge_strategy == "join") else 0
+
 
 def _write_counted(spark: SparkSession, df: DataFrame, path: str, tag: str) -> int:
     """Write a side-channel DataFrame and return its row count in ONE job:
@@ -130,10 +138,11 @@ def prepare_epoch_updates(
     output partitioning (``use_window_lww=True`` or the "join" strategy) —
     there the salt spreads a hot key across ``n_salts`` extraction tasks.
     """
-    if cfg.n_salts <= 0:
+    n_salts = cfg.effective_n_salts()
+    if n_salts <= 0:
         salted = batch
     else:
-        salted = salted_repartition(batch, cfg.num_partitions, n_salts=cfg.n_salts)
+        salted = salted_repartition(batch, cfg.num_partitions, n_salts=n_salts)
     extracted = extraction_stage(salted, cfg.default_year) if cfg.run_extraction else (
         salted.withColumn("content_sha", F.sha2(F.col("content").cast("string"), 256))
     )

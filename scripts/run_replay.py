@@ -32,7 +32,13 @@ def main() -> None:
     ap.add_argument("--changelog", required=True, help="epoch-partitioned changelog path")
     ap.add_argument("--table", required=True, help="lake table path")
     ap.add_argument("--n-buckets", type=int, default=64)
-    ap.add_argument("--n-salts", type=int, default=16)
+    ap.add_argument(
+        "--n-salts", type=int, default=None,
+        help="pre-extraction salt fan-out; default auto: 16 when a keyed "
+             "dedup consumes the salted partitioning (--window-lww / "
+             "--merge-strategy join), else 0 (the fused merge's sub-salt "
+             "carries the skew story — BENCH/ab_salt_shuffle.md)",
+    )
     ap.add_argument(
         "--merge-strategy",
         choices=["window", "agg", "join", "bucket_agg"],

@@ -266,6 +266,19 @@ def test_salted_equals_unsalted(spark, tmp_path):
     salted = replay_dataframe(spark, log, str(tmp_path / "s"), ReplayConfig(n_salts=16))
     unsalted = replay_dataframe(spark, log, str(tmp_path / "u"), ReplayConfig(n_salts=1))
     assert_state_equal(state(salted), state(unsalted))
+    # n_salts=0 (no pre-stage shuffle at all) is also bit-for-bit identical
+    skipped = replay_dataframe(spark, log, str(tmp_path / "k"), ReplayConfig(n_salts=0))
+    assert_state_equal(state(skipped), state(unsalted))
+
+
+def test_n_salts_auto_default():
+    """None auto-resolves: salting engages exactly where a keyed dedup
+    consumes the salted partitioning (BENCH/ab_salt_shuffle.md)."""
+    assert ReplayConfig().effective_n_salts() == 0
+    assert ReplayConfig(use_window_lww=True).effective_n_salts() == 16
+    assert ReplayConfig(merge_strategy="join").effective_n_salts() == 16
+    assert ReplayConfig(n_salts=4).effective_n_salts() == 4
+    assert ReplayConfig(n_salts=0, merge_strategy="join").effective_n_salts() == 0
 
 
 def test_dead_letter_channel_in_replay(spark, tmp_path):
