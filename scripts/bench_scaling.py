@@ -268,7 +268,13 @@ def _render(n_events, rounds, reps, pair_rounds) -> str:
     # cross-level per-core ratio c32/(4·c8), which physically cannot
     # exceed ~1; a round where 32 threads "deliver" more per-core than 8
     # had its local[8] window stolen by a neighbor and its efficiency
-    # ratio is garbage (observed: raw eff 1.62 on such a round).
+    # ratio is garbage (observed: raw eff 1.62 on such a round); and (c)
+    # the replicate spread of the FULL timed windows themselves — the
+    # detector for contamination that hits the replay between brackets
+    # (observed round 2: first-two brackets steady at both levels while
+    # the core replicates sat 3x apart and full 16-27% apart; clean
+    # rounds measure <=5% full spread, so >10% means the window itself
+    # drifted by more than the efficiency gap being measured).
     def _calib_dirt(pair_idx: int) -> float:
         pair = pair_rounds[pair_idx]
         dirt, means = 0.0, {}
@@ -276,6 +282,11 @@ def _render(n_events, rounds, reps, pair_rounds) -> str:
             c = pair[cpus]["calib_iters_per_sec"][:2]
             dirt = max(dirt, (max(c) - min(c)) / max(c))
             means[cpus] = sum(c) / len(c)
+            fs = pair[cpus]["full_sec"]
+            fspread = (max(fs) - min(fs)) / max(fs)
+            dirt = max(dirt, fspread)
+            if fspread > 0.10:  # gate-fail: replay window demonstrably stolen
+                dirt += fspread + 1.0
         hw = means[32] / (4 * means[8])
         if hw > 1.05:  # impossible ceiling → heavily penalize
             dirt += hw - 1.05 + 1.0
@@ -285,7 +296,8 @@ def _render(n_events, rounds, reps, pair_rounds) -> str:
     best = per_round[headline_idx]
     # Medians span the rounds that pass the SAME physical gate the
     # headline picker uses (dirt < 1.0 ⇔ no impossible per-core ceiling,
-    # bounded bracket spread) — a median that mixes in rounds whose
+    # bounded bracket spread, <=10% full-window replicate spread) — a
+    # median that mixes in rounds whose
     # local[8] window was demonstrably stolen measures the neighbor VM,
     # not this engine.  Every round stays visible in the per-round and
     # raw-data tables.  Falls back to all rounds if none pass.
@@ -313,9 +325,12 @@ def _render(n_events, rounds, reps, pair_rounds) -> str:
         "round, best-of kept per round, median across rounds reported.",
         "",
         f"Headline cells render from round {headline_idx} — the round with the",
-        "steadiest GIL-free calibration brackets (cleanest host window), NOT",
-        f"the fastest round; medians span the {len(med_rounds)} round(s) of",
-        f"{len(per_round)} that pass the same physical calibration gate",
+        "steadiest GIL-free calibration brackets + replicate-stable timed",
+        "windows (cleanest host window), NOT the fastest round; medians",
+        f"span the {len(med_rounds)} round(s) of",
+        f"{len(per_round)} that pass the same physical gate: no impossible",
+        "per-core ceiling, bounded bracket spread, and <=10% replicate",
+        "spread of the full timed window itself",
         f"(rounds {plausible if plausible else 'none — fallback: all'}; gate-failed",
         "rounds measured a neighbor VM stealing the window and remain in the",
         "per-round + raw tables below).",
