@@ -283,17 +283,30 @@ def replay(
         # evolution epochs read with footer merging so new columns surface
         return read_epoch(spark, changelog_path, e, merge_schema=e in cfg.schema_evolution)
 
-    _pipelined_epochs(spark, sink, cfg, [e for e in epochs if e > last], batch_of)
+    _pipelined_epochs(
+        spark, sink, cfg, [e for e in epochs if e > last], batch_of,
+        stats_path=changelog_path,
+    )
     return sink
 
 
-def _pipelined_epochs(spark, sink, cfg, pending: list[int], batch_of) -> None:
+def _pipelined_epochs(
+    spark, sink, cfg, pending: list[int], batch_of, stats_path: str | None = None
+) -> None:
     """Run epochs with the NEXT epoch's key_stats scan prefetched on a
     background thread while the current epoch's merge write executes.  The
     stats scan is the only per-epoch job besides the merge itself; at
     local[32]/1M events it is ~1s of the ~4.5s epoch — fully hidden here.
     Spark job submission is thread-safe; n_buckets is pinned before the loop
-    so the prefetch never reads the manifest concurrently with a publish."""
+    so the prefetch never reads the manifest concurrently with a publish.
+
+    ``stats_path``: a stored changelog carrying the ``_key_stats`` sidecar
+    (sources/changelog.write_key_stats) resolves each epoch's touched
+    buckets + lineage from a driver-side metadata read — no stats job AT
+    ALL, which both removes the un-hidden scan before the first epoch and
+    stops the prefetch from competing with the merge for cores.  Only valid
+    when validation is off: the sidecar counts every stored row, while a
+    validating replay must exclude dead-lettered rows from lineage."""
     from concurrent.futures import ThreadPoolExecutor
 
     if not pending:
@@ -301,6 +314,12 @@ def _pipelined_epochs(spark, sink, cfg, pending: list[int], batch_of) -> None:
     n_buckets = sink.manifest().n_buckets
 
     def stats_of(e: int):
+        if stats_path is not None and not cfg.validate:
+            from jurisprudencia_privada_etl_spark.sources.changelog import read_epoch_stats
+
+            fast = read_epoch_stats(stats_path, e, n_buckets)
+            if fast is not None:
+                return fast
         return sink.key_stats(_valid_rows(batch_of(e), cfg), n_buckets=n_buckets)
 
     with ThreadPoolExecutor(max_workers=1, thread_name_prefix="keystats") as pool:
