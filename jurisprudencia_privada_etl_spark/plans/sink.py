@@ -52,6 +52,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from jurisprudencia_privada_etl_spark.functions.hashing import xxhash64_strings_py
 from jurisprudencia_privada_etl_spark.plans import manifest as mf
 from jurisprudencia_privada_etl_spark.schemas import (
     OP_DELETE,
@@ -1227,6 +1228,69 @@ class HadoopParquetSink:
                 f"epoch {epoch} has no retained readable snapshot at {self.table_path}"
             )
         return self.load(version=match[-1])
+
+    def lookup(
+        self,
+        keys: list[tuple[str, str]],
+        version: int | None = None,
+        columns: list[str] | None = None,
+    ) -> DataFrame:
+        """Point lookup of live rows for explicit ``(repo, path)`` keys.
+
+        The 100 TB story: the driver computes each key's bucket id with the
+        pure-Python xxhash64 twin (functions/hashing.xxhash64_strings_py —
+        bit-identical to ``bucket_of``, parity-tested), so pruning to
+        ``len(keys)`` of ``n_buckets`` buckets costs ZERO Spark jobs, and
+        the key equality predicate is pushed into the parquet scan
+        (``PushedFilters``), so row groups whose repo/path min/max can't
+        match are skipped inside the surviving files too.  Net: a handful
+        of row groups read, regardless of table size.  MoR buckets still
+        resolve their delta stack, but only for the pruned buckets.
+
+        Plan shape pinned by tests/test_plans.py (scan lists only the
+        looked-up buckets' files; filters reach the scan).
+        """
+        if not keys:
+            raise ValueError("lookup() needs at least one (repo, path) key")
+        m = self.manifest(version)
+        bs = sorted(
+            {
+                int(xxhash64_strings_py(r, p) % m.n_buckets)
+                for r, p in keys
+            }
+        )
+        df = self.load(buckets=bs, version=version, columns=columns)
+        pred = None
+        for r, p in keys:
+            one = (F.col("repo") == F.lit(r)) & (F.col("path") == F.lit(p))
+            pred = one if pred is None else (pred | one)
+        return df.where(pred)
+
+    def key_history(self, repo: str, path: str) -> DataFrame:
+        """Audit walk of one key across every retained readable snapshot —
+        "how did this row evolve" (the per-key face of time travel; the
+        change data feed answers the per-version question).
+
+        One ``lookup`` per readable version, unioned with the snapshot
+        version and its committed epoch stamped on; each branch reads a
+        single bucket with the key pushed down, so the whole plan touches
+        ``n_versions`` buckets worth of row groups, never the table.
+        Returns one row per snapshot where the key was live (absent rows =
+        deleted or not yet inserted at that version).
+        """
+        parts = []
+        for s in self.snapshots():
+            if not s["readable"]:
+                continue
+            parts.append(
+                self.lookup([(repo, path)], version=s["version"])
+                .withColumn("snapshot_version", F.lit(s["version"]))
+                .withColumn("as_of_epoch", F.lit(s["last_committed_epoch"]))
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     # -- table maintenance -----------------------------------------------------
 
