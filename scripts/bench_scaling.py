@@ -274,7 +274,18 @@ def _render(n_events, rounds, reps, pair_rounds) -> str:
     # (observed round 2: first-two brackets steady at both levels while
     # the core replicates sat 3x apart and full 16-27% apart; clean
     # rounds measure <=5% full spread, so >10% means the window itself
-    # drifted by more than the efficiency gap being measured).
+    # drifted by more than the efficiency gap being measured); and (d)
+    # the two-size line fit must not produce a NEGATIVE fixed-overhead
+    # intercept beyond noise: T(E) = F + E·w with F < 0 is physically
+    # impossible (the replay's planning/commit constant cannot be
+    # negative), and a strongly negative F means the full-size and
+    # quarter-size windows measured DIFFERENT host speeds — contamination
+    # that axis (c) cannot see when both full replicates were equally
+    # degraded (observed round 3: quarter32 replicates 61.1s vs 19.6s,
+    # fit F@8 = -19.1s, F@32 = -15.4s; its full replicates were stable
+    # so (c) passed, yet the ratio was garbage).  Threshold: F below
+    # -5% of that level's full wall fails; round 0's -0.8s (-0.3%) is
+    # within fit noise and passes.
     def _calib_dirt(pair_idx: int) -> float:
         pair = pair_rounds[pair_idx]
         dirt, means = 0.0, {}
@@ -290,6 +301,10 @@ def _render(n_events, rounds, reps, pair_rounds) -> str:
         hw = means[32] / (4 * means[8])
         if hw > 1.05:  # impossible ceiling → heavily penalize
             dirt += hw - 1.05 + 1.0
+        r = per_round[pair_idx]
+        for f, b in ((r["f8"], r["b8f"]), (r["f32"], r["b32f"])):
+            if f < -0.05 * b:  # impossible negative intercept → gate-fail
+                dirt += 1.0 + (-f / b)
         return dirt
 
     headline_idx = min(range(len(per_round)), key=_calib_dirt)
@@ -329,8 +344,11 @@ def _render(n_events, rounds, reps, pair_rounds) -> str:
         "windows (cleanest host window), NOT the fastest round; medians",
         f"span the {len(med_rounds)} round(s) of",
         f"{len(per_round)} that pass the same physical gate: no impossible",
-        "per-core ceiling, bounded bracket spread, and <=10% replicate",
-        "spread of the full timed window itself",
+        "per-core ceiling, bounded bracket spread, <=10% replicate",
+        "spread of the full timed window itself, and a non-negative",
+        "fixed-overhead intercept in the two-size fit (a negative F is",
+        "physically impossible and means the full and quarter windows",
+        "measured different host speeds)",
         f"(rounds {plausible if plausible else 'none — fallback: all'}; gate-failed",
         "rounds measured a neighbor VM stealing the window and remain in the",
         "per-round + raw tables below).",
