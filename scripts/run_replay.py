@@ -91,6 +91,13 @@ def main() -> None:
     ap.add_argument("--feed-format", choices=["cdf", "debezium"], default="cdf",
                     help="cdf: Delta-CDF-shaped parquet rows; debezium: "
                          "envelope JSON text (Kafka-producer shaped)")
+    ap.add_argument("--fanout", metavar="TABLE2:SQL_PREDICATE",
+                    help="routed fan-out replay: rows matching the predicate go to "
+                         "TABLE2, the rest to --table, every epoch committed to BOTH "
+                         "tables atomically (plans/txn.py multi-table transaction); "
+                         "resumable, crash-recovered on startup")
+    ap.add_argument("--txn-root", help="transaction-record dir for --fanout "
+                                       "(default: parent dir of --table)")
     ap.add_argument("--generate", type=int, default=0, help="generate N synthetic events first (testing)")
     ap.add_argument("--default-year", type=int, default=2026)
     ap.add_argument(
@@ -177,6 +184,21 @@ def main() -> None:
         if args.consumer is not None:
             out["consumer"] = args.consumer
         print(json.dumps({"emit_feed": out}))
+        return
+
+    if args.fanout is not None:
+        import os as _os
+
+        from jurisprudencia_privada_etl_spark.plans.txn import fanout_replay
+
+        table2, pred = args.fanout.split(":", 1)
+        root = args.txn_root or _os.path.dirname(args.table.rstrip("/"))
+        out = fanout_replay(
+            spark, args.changelog, root,
+            routes=[(args.table, f"NOT ({pred})"), (table2, pred)],
+            cfg=cfg,
+        )
+        print(json.dumps(out))
         return
 
     maintenance = (
