@@ -220,3 +220,34 @@ def promote_staged(table_path: str) -> Manifest:
     publish(table_path, staged)
     discard_staged(table_path)
     return staged
+
+
+# -- named refs (Iceberg tag analog) ------------------------------------------
+
+REFS_NAME = "refs.json"
+
+
+def load_refs(table_path: str) -> dict[str, int]:
+    """name → pinned manifest version.  Tags are retention pins: GC
+    (``expire_snapshots``) keeps a tagged version fully readable however
+    old it gets — the "prod"/"audited-2026Q3" use case."""
+    p = os.path.join(_mdir(table_path), REFS_NAME)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return {k: int(v) for k, v in json.load(f).items()}
+
+
+def save_refs(table_path: str, refs: dict[str, int]) -> None:
+    """Atomic replace of the refs file.  Tag updates are driver-side
+    metadata ops (no CAS line: last-writer-wins on the whole ref SET is
+    the documented semantic; table-state commits never touch this file)."""
+    d = _mdir(table_path)
+    os.makedirs(d, exist_ok=True)
+    final = os.path.join(d, REFS_NAME)
+    tmp = f"{final}.{os.getpid()}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(refs, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, final)

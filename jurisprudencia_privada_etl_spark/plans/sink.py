@@ -173,6 +173,10 @@ class HadoopParquetSink:
         d = os.path.join(self.table_path, mf.MANIFEST_DIR)
         if not os.path.isdir(d):
             return []
+        refs = mf.load_refs(self.table_path)
+        by_version: dict[int, list[str]] = {}
+        for ref_name, v in refs.items():
+            by_version.setdefault(v, []).append(ref_name)
         out = []
         for name in sorted(os.listdir(d)):
             if not (name.startswith("v") and name.endswith(".json")):
@@ -187,6 +191,7 @@ class HadoopParquetSink:
                     # column-id mapping only; its data dirs were GC'd, so
                     # time-travel reads must not resolve here
                     "readable": not m.metrics.get("schema_only_retained", False),
+                    "tags": sorted(by_version.get(m.version, [])),
                     "operation": (
                         "vacuum"
                         if "vacuum_below" in m.metrics
@@ -1266,6 +1271,44 @@ class HadoopParquetSink:
             pred = one if pred is None else (pred | one)
         return df.where(pred)
 
+    # -- named refs (tags) -----------------------------------------------------
+
+    def tag(self, name: str, version: int | None = None) -> dict[str, int]:
+        """Pin a snapshot version under a name (the Iceberg tag analog).
+
+        A tagged version survives ``expire_snapshots`` fully readable no
+        matter how old it gets — the retention pin for "prod", an audit
+        cut, or a reproducible-training-run input.  Refuses unreadable
+        (schema-only-retained) versions.  Returns the updated ref set."""
+        m = self.manifest(version)  # raises if the version doesn't exist
+        if m.metrics.get("schema_only_retained"):
+            raise ValueError(
+                f"version {m.version} is schema-only retained (its data was "
+                f"GC'd before tagging) — tags must pin readable versions"
+            )
+        refs = mf.load_refs(self.table_path)
+        refs[name] = m.version
+        mf.save_refs(self.table_path, refs)
+        return refs
+
+    def drop_tag(self, name: str) -> bool:
+        refs = mf.load_refs(self.table_path)
+        if name not in refs:
+            return False
+        del refs[name]
+        mf.save_refs(self.table_path, refs)
+        return True
+
+    def tags(self) -> dict[str, int]:
+        return mf.load_refs(self.table_path)
+
+    def load_tag(self, name: str, **kwargs) -> DataFrame:
+        """Snapshot read pinned by a named ref — ``load(version=tags()[name])``."""
+        refs = mf.load_refs(self.table_path)
+        if name not in refs:
+            raise KeyError(f"no tag {name!r} at {self.table_path}")
+        return self.load(version=refs[name], **kwargs)
+
     def key_history(self, repo: str, path: str) -> DataFrame:
         """Audit walk of one key across every retained readable snapshot —
         "how did this row evolve" (the per-key face of time travel; the
@@ -1488,7 +1531,10 @@ class HadoopParquetSink:
         versions = sorted(
             int(n[1:9]) for n in os.listdir(mdir) if n.startswith("v") and n.endswith(".json")
         )
-        fully_retained = set(versions[-max(1, keep_last):])
+        # tagged versions are retention pins: fully readable forever,
+        # however far past keep_last they fall (drop_tag releases them)
+        pinned = {v for v in mf.load_refs(self.table_path).values() if v in versions}
+        fully_retained = set(versions[-max(1, keep_last):]) | pinned
         # schema_version back-references keep their manifests alive — but
         # JSON only: their data dirs are GC'd below unless a fully-retained
         # manifest still references the same paths
