@@ -193,7 +193,9 @@ class HadoopParquetSink:
                     "readable": not m.metrics.get("schema_only_retained", False),
                     "tags": sorted(by_version.get(m.version, [])),
                     "operation": (
-                        "vacuum"
+                        "rollback"
+                        if "rollback_of" in m.metrics
+                        else "vacuum"
                         if "vacuum_below" in m.metrics
                         else "compact"
                         if "compacted_buckets" in m.metrics
@@ -1335,6 +1337,56 @@ class HadoopParquetSink:
             out = out.unionByName(p)
         return out
 
+    def rollback(self, version: int) -> dict:
+        """Restore the table head to an earlier snapshot as a NEW commit
+        (Delta ``RESTORE`` / Iceberg ``rollback_to_snapshot``).
+
+        Metadata-only: the new manifest re-references the target version's
+        bucket→file mapping, schema, bucket count and committed epoch — no
+        data moves, so restoring a 100 TB table costs one manifest CAS.
+        History is preserved (the rolled-past versions stay readable until
+        ``expire_snapshots``), and the restored head keeps the target's
+        data dirs alive through GC because ``expire_snapshots`` walks
+        referenced paths from retained manifests.
+
+        ``last_committed_epoch`` resets to the target's, so a subsequent
+        ``replay`` resumes at the epoch AFTER the restored snapshot and
+        re-applies the changelog tail — the reprocess-from-snapshot recipe
+        (bad deploy wrote epochs 5-7 → rollback to the epoch-4 snapshot,
+        fix, replay; exactly-once stamps make the re-application safe).
+
+        Refuses to restore a version whose data was GC'd
+        (``schema_only_retained``) and a no-op restore to the current
+        version.  CAS-published: losing a race to a concurrent writer
+        raises ``CommitConflictError`` — re-plan on the new head.
+        """
+        cur = mf.current_version(self.table_path)
+        if cur is None:
+            raise FileNotFoundError(f"no table at {self.table_path}")
+        if version == cur:
+            raise ValueError(f"table is already at version {version}")
+        target = self.manifest(version)  # FileNotFoundError if expired
+        if target.metrics.get("schema_only_retained"):
+            raise ValueError(
+                f"version {version} is schema-only retained (its data was "
+                "GC'd by expire_snapshots) and cannot be restored"
+            )
+        new = mf.Manifest(
+            version=cur + 1,
+            last_committed_epoch=target.last_committed_epoch,
+            schema=target.schema,
+            buckets={k: dict(v) for k, v in target.buckets.items()},
+            n_buckets=target.n_buckets,
+            metrics={"rollback_of": version},
+            parent_version=cur,
+        )
+        mf.publish(self.table_path, new)
+        return {
+            "restored_version": version,
+            "new_version": new.version,
+            "last_committed_epoch": new.last_committed_epoch,
+        }
+
     # -- table maintenance -----------------------------------------------------
 
     def rebucket(self, new_n_buckets: int) -> dict:
@@ -1769,6 +1821,16 @@ class IcebergSink:
             f"table => '{self.table}', retain_last => {max(1, keep_last)})"
         )
         return {"expired": True, "retain_last": max(1, keep_last)}
+
+    def rollback(self, version: int) -> dict:
+        """Restore the table to an earlier snapshot — Iceberg's
+        ``rollback_to_snapshot`` procedure (metadata-only, like the parquet
+        sink's manifest re-reference)."""
+        self.spark.sql(
+            f"CALL {self._catalog()}.system.rollback_to_snapshot("
+            f"table => '{self.table}', snapshot_id => {version})"
+        )
+        return {"restored_version": version}
 
     def snapshots(self) -> list[dict]:
         """Snapshot history from the ``.snapshots`` metadata table."""

@@ -67,6 +67,10 @@ def main() -> None:
                     help="expire all but the newest KEEP snapshots, then exit")
     ap.add_argument("--rebucket", type=int, metavar="N",
                     help="re-partition the table onto N hash buckets, then exit")
+    ap.add_argument("--rollback", type=int, metavar="VERSION",
+                    help="restore the table head to snapshot VERSION as a new "
+                         "metadata-only commit (Delta RESTORE), then exit; a "
+                         "subsequent replay resumes at the restored epoch + 1")
     ap.add_argument("--delete-where", metavar="SQL_PREDICATE",
                     help="targeted purge: tombstone every live row matching this "
                          "predicate (requires --purge-ordinal), then exit; compose "
@@ -207,6 +211,7 @@ def main() -> None:
         or args.expire_snapshots is not None
         or args.rebucket is not None
         or args.delete_where is not None
+        or args.rollback is not None
     )
     if maintenance:
         sink = HadoopParquetSink(spark, args.table, n_buckets=args.n_buckets)
@@ -225,6 +230,8 @@ def main() -> None:
             )
         if args.rebucket is not None:
             out["rebucket"] = sink.rebucket(args.rebucket)
+        if args.rollback is not None:
+            out["rollback"] = sink.rollback(args.rollback)
         if args.expire_snapshots is not None:
             out["expire_snapshots"] = sink.expire_snapshots(args.expire_snapshots)
         print(json.dumps(out))

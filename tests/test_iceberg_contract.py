@@ -283,3 +283,13 @@ def test_snapshots_reads_metadata_table():
     out = _sink(spark).snapshots()
     assert out == [{"snapshot_id": 1, "operation": "append"}]
     assert "FROM lake.docs.snapshots ORDER BY committed_at" in spark.statements[0]
+
+
+def test_rollback_calls_system_procedure():
+    spark = FakeSpark()
+    out = _sink(spark).rollback(12345)
+    assert out == {"restored_version": 12345}
+    assert spark.statements == [
+        "CALL spark_catalog.system.rollback_to_snapshot("
+        "table => 'lake.docs', snapshot_id => 12345)"
+    ]
