@@ -137,6 +137,7 @@ def change_feed(
     from_version: int,
     to_version: int | None = None,
     on_vacuum: str = "error",
+    on_rollback: str = "error",
     delete_image: str = "auto",
 ) -> DataFrame:
     """Delta between two committed snapshots of a ``HadoopParquetSink``.
@@ -162,6 +163,16 @@ def change_feed(
     consumer to re-bootstrap via ``snapshot_as_changelog``.
     ``on_vacuum="allow"`` emits the feed anyway (fine for non-replication
     consumers that only read the feed as an audit log).
+
+    Hard contract on rollback (same divergence class): a ``rollback()``
+    between the two versions REVERTS rows to images with OLDER ordinals,
+    and both the resulting update images and the deletes of rolled-past
+    inserts lose the replica's strict ``s.ordinal > t.ordinal`` guard —
+    the replica silently keeps the rolled-back state forever.  When a
+    rollback snapshot is detected in (from_version, to_version] this
+    raises, telling the consumer to re-bootstrap via
+    ``snapshot_as_changelog``; ``on_rollback="allow"`` emits the feed
+    anyway (audit consumers, or appliers without the ordinal guard).
 
     ``delete_image`` picks which row image a ``delete`` change carries:
     ``"auto"`` (default) prefers the retained tombstone — its ordinal is the
@@ -194,6 +205,20 @@ def change_feed(
             "vacuuming past their window, re-bootstrap the replica with "
             "snapshot_as_changelog(), or pass on_vacuum='allow' for "
             "non-replication (audit) consumption."
+        )
+    rollbacks = [
+        s["version"]
+        for s in sink.snapshots()
+        if m0.version < s["version"] <= m1.version and "rollback_of" in s["metrics"]
+    ]
+    if rollbacks and on_rollback != "allow":
+        raise ValueError(
+            f"rollback snapshot(s) {rollbacks} lie between versions {m0.version} "
+            f"and {m1.version}: reverted rows carry OLDER ordinals that lose the "
+            "replica's strict s.ordinal > t.ordinal merge guard, so a replica "
+            "applying this feed would silently keep the rolled-back state.  "
+            "Re-bootstrap the replica with snapshot_as_changelog(), or pass "
+            "on_rollback='allow' for non-replication (audit) consumption."
         )
     if m0.n_buckets != m1.n_buckets:
         # rebucket between the snapshots: bucket ids aren't comparable, so

@@ -83,3 +83,37 @@ def test_rollback_guards_and_gc_safety(spark, tmp_path):
     if schema_only:
         with pytest.raises(ValueError, match="schema-only"):
             sink.rollback(schema_only[0])
+
+
+def test_change_feed_across_rollback_guard(spark, tmp_path):
+    """A feed window spanning a rollback carries reverted rows with OLDER
+    ordinals, which lose a replica's strict merge guard — the feed must
+    refuse (re-bootstrap contract), and the re-bootstrap must converge."""
+    from jurisprudencia_privada_etl_spark.operators.change_feed import (
+        change_feed,
+        snapshot_as_changelog,
+    )
+
+    log, pdf, sink = _table(spark, tmp_path)
+    v_before = sink.manifest().version
+    # a replica bootstrapped at the pre-rollback head
+    replica = replay_dataframe(
+        spark, snapshot_as_changelog(sink, epoch=0), str(tmp_path / "replica")
+    )
+    assert_state_equal(
+        replica.load().select(*PAYLOAD).toPandas(), oracle_reduce(pdf)
+    )
+    sink.rollback(_merge_versions(sink)[1])
+    with pytest.raises(ValueError, match="rollback snapshot"):
+        change_feed(sink, v_before)
+    # audit consumption is explicit opt-in, and the feed itself is the
+    # correct state diff (the hazard is only the guarded replica apply)
+    assert change_feed(sink, v_before, on_rollback="allow").count() > 0
+    # the documented recovery: re-bootstrap the replica from the new head
+    replica2 = replay_dataframe(
+        spark, snapshot_as_changelog(sink, epoch=0), str(tmp_path / "replica2")
+    )
+    assert_state_equal(
+        replica2.load().select(*PAYLOAD).toPandas(),
+        oracle_reduce(pdf[pdf["epoch"] <= 1]),
+    )
