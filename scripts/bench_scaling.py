@@ -301,27 +301,44 @@ def _render(n_events, rounds, reps, pair_rounds) -> str:
         hw = means[32] / (4 * means[8])
         if hw > 1.05:  # impossible ceiling → heavily penalize
             dirt += hw - 1.05 + 1.0
-        r = per_round[pair_idx]
-        for f, b in ((r["f8"], r["b8f"]), (r["f32"], r["b32f"])):
-            if f < -0.05 * b:  # impossible negative intercept → gate-fail
-                dirt += 1.0 + (-f / b)
+        if with_fit:
+            r = per_round[pair_idx]
+            for f, b in ((r["f8"], r["b8f"]), (r["f32"], r["b32f"])):
+                if f < -0.05 * b:  # suspect negative intercept → gate the fit
+                    dirt += 1.0 + (-f / b)
         return dirt
 
+    with_fit = True  # headline round keeps the strictest (full) gate
     headline_idx = min(range(len(per_round)), key=_calib_dirt)
     best = per_round[headline_idx]
-    # Medians span the rounds that pass the SAME physical gate the
-    # headline picker uses (dirt < 1.0 ⇔ no impossible per-core ceiling,
-    # bounded bracket spread, <=10% full-window replicate spread) — a
-    # median that mixes in rounds whose
+    # Medians span the rounds that pass the physical gate — but gate each
+    # METRIC on the measurements it actually uses.  The raw full-window
+    # efficiency touches no quarter-size data, so it gates on axes
+    # (a)-(c) only (brackets, per-core ceiling, full replicate spread);
+    # the two-size FIT (marginal eff, fixed overhead F) additionally
+    # gates on axis (d), because a strongly negative intercept means the
+    # full and quarter windows can't be combined.  Rationale: in the
+    # cleanest rounds the quarter@8 wall is reproducibly BELOW full/4
+    # (all four windows replicate-stable ≤7%) — measured convexity of
+    # T(E) at the memory-constrained 8-thread level (32M events' working
+    # set misses cache where 8M doesn't), which biases the linear fit's
+    # F@8 negative without any contamination; discarding the round's raw
+    # full-window ratio for that would throw away the best-evidenced
+    # measurement on the table.  A median that mixes in rounds whose
     # local[8] window was demonstrably stolen measures the neighbor VM,
     # not this engine.  Every round stays visible in the per-round and
     # raw-data tables.  Falls back to all rounds if none pass.
-    plausible = [i for i in range(len(per_round)) if _calib_dirt(i) < 1.0]
-    med_rounds = [per_round[i] for i in plausible] or per_round
-    med_full = _median([r["eff_full"] for r in med_rounds])
-    med_marg = _median([r["eff_marginal"] for r in med_rounds])
-    med_core = _median([r["eff_core"] for r in med_rounds])
-    med_hw = _median([r["hw"] for r in med_rounds])
+    with_fit = False
+    raw_ok = [i for i in range(len(per_round)) if _calib_dirt(i) < 1.0]
+    with_fit = True
+    fit_ok = [i for i in range(len(per_round)) if _calib_dirt(i) < 1.0]
+    raw_rounds = [per_round[i] for i in raw_ok] or per_round
+    fit_rounds = [per_round[i] for i in fit_ok] or per_round
+    plausible = raw_ok
+    med_full = _median([r["eff_full"] for r in raw_rounds])
+    med_marg = _median([r["eff_marginal"] for r in fit_rounds])
+    med_core = _median([r["eff_core"] for r in raw_rounds])
+    med_hw = _median([r["hw"] for r in raw_rounds])
 
     lines = [
         "# BENCH/BASELINE — measured throughput + two-cluster-size scaling",
@@ -341,24 +358,27 @@ def _render(n_events, rounds, reps, pair_rounds) -> str:
         "",
         f"Headline cells render from round {headline_idx} — the round with the",
         "steadiest GIL-free calibration brackets + replicate-stable timed",
-        "windows (cleanest host window), NOT the fastest round; medians",
-        f"span the {len(med_rounds)} round(s) of",
-        f"{len(per_round)} that pass the same physical gate: no impossible",
-        "per-core ceiling, bounded bracket spread, <=10% replicate",
-        "spread of the full timed window itself, and a non-negative",
-        "fixed-overhead intercept in the two-size fit (a negative F is",
-        "physically impossible and means the full and quarter windows",
-        "measured different host speeds)",
-        f"(rounds {plausible if plausible else 'none — fallback: all'}; gate-failed",
+        "windows (cleanest host window), NOT the fastest round.  Each",
+        "median gates on the measurements it actually uses: the RAW",
+        "full-window efficiency gates on axes (a)-(c) — bounded bracket",
+        "spread, no impossible per-core ceiling, <=10% replicate spread",
+        f"of the full timed windows (rounds {raw_ok if raw_ok else 'none — fallback: all'} of "
+        f"{len(per_round)}) — while the",
+        "two-size FIT (marginal efficiency, fixed overhead F) additionally",
+        "requires a non-suspect intercept, axis (d)",
+        f"(rounds {fit_ok if fit_ok else 'none — fallback: all'}).  The raw ratio touches no",
+        "quarter-size data, so a fit-only anomaly does not discard it; see",
+        "'Which rounds to trust' for why a replicate-stable negative F@8 is",
+        "measured convexity of T(E), not contamination.  Gate-failed",
         "rounds measured a neighbor VM stealing the window and remain in the",
-        "per-round + raw tables below).",
+        "per-round + raw tables below.",
         "",
         "| metric (median across gate-passing rounds) | local[8] | local[32] | 8→32 efficiency |",
         "|---|---|---|---|",
         f"| full CDC replay, {n_events/1e6:.0f}M events (round {headline_idx}) | {best['b8f']:.1f}s "
         f"({n_events/best['b8f']:,.0f} ev/s) | {best['b32f']:.1f}s ({n_events/best['b32f']:,.0f} ev/s) "
         f"| **{med_full:.2f}** (best plausible round "
-        f"{max([per_round[i]['eff_full'] for i in range(len(per_round)) if _calib_dirt(i) < 1.0] or [per_round[headline_idx]['eff_full']]):.2f}) |",
+        f"{max([per_round[i]['eff_full'] for i in raw_ok] or [per_round[headline_idx]['eff_full']]):.2f}) |",
         f"| marginal data path (Amdahl-free slope, {n_events/1e6:g}M vs {eq/1e6:g}M) "
         f"| {1/best['w8']:,.0f} ev/s | {1/best['w32']:,.0f} ev/s | **{med_marg:.2f}** |",
         f"| compute core (no sink IO) | {best['b8c']:.1f}s | {best['b32c']:.1f}s | {med_core:.2f} |",
@@ -376,7 +396,8 @@ def _render(n_events, rounds, reps, pair_rounds) -> str:
     ]
     for i, r in enumerate(per_round):
         tag = " (headline)" if i == headline_idx else (
-            "" if i in plausible else " (gate-failed)"
+            " (gate-failed)" if i not in plausible
+            else "" if i in fit_ok else " (raw only; fit-gated)"
         )
         lines.append(
             f"| {i}{tag} | {r['f8']:.1f}s | {r['f32']:.1f}s | {r['w8']*1e6:.2f} | "
