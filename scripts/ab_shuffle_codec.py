@@ -77,9 +77,11 @@ for r in range({reps} + 1):
         times.append(round(dt, 2))
         rows = sink.load().count()
     shutil.rmtree(table, ignore_errors=True)
-shutil.rmtree(shm, ignore_errors=True)
 print("RESULT " + json.dumps({{"times": times, "rows": rows}}))
 spark.stop()
+# only after stop: spark.local.dir lives under shm and Spark's shutdown
+# hooks still touch it
+shutil.rmtree(shm, ignore_errors=True)
 """
 
 
