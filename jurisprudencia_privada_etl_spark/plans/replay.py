@@ -94,6 +94,13 @@ class ReplayConfig:
     # AuditRejectedError — the replay STOPS (later epochs must not commit
     # over a hole); readers never see the rejected state.
     audit_gate: Any = None
+    # parquet split-block bloom filters on (repo, path) in every data file,
+    # sized to ~keys per file — point lookups then skip non-matching row
+    # groups with zero page reads even though rows inside a bucket are in
+    # key-hash order (min/max stats prune nothing there).  Opt-in: the
+    # bloom build taxes every epoch's write, the benefit accrues to
+    # lookup()/key_history()-heavy deployments.  None disables.
+    bloom_filter_ndv: int | None = None
 
     def effective_n_salts(self) -> int:
         """Resolve the n_salts=None auto default — see the field comment."""
@@ -271,7 +278,7 @@ def replay(
     sink = HadoopParquetSink(
         spark, table_path, n_buckets=cfg.n_buckets,
         merge_strategy=cfg.merge_strategy, files_per_bucket=cfg.files_per_bucket,
-        write_mode=cfg.write_mode,
+        write_mode=cfg.write_mode, bloom_filter_ndv=cfg.bloom_filter_ndv,
     )
     if not sink.exists():
         sink.create(TableSchema.from_struct(TARGET_SCHEMA))
@@ -357,7 +364,7 @@ def replay_dataframe(
     sink = HadoopParquetSink(
         spark, table_path, n_buckets=cfg.n_buckets,
         merge_strategy=cfg.merge_strategy, files_per_bucket=cfg.files_per_bucket,
-        write_mode=cfg.write_mode,
+        write_mode=cfg.write_mode, bloom_filter_ndv=cfg.bloom_filter_ndv,
     )
     if not sink.exists():
         sink.create(TableSchema.from_struct(TARGET_SCHEMA))

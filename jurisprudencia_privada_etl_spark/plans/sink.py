@@ -111,6 +111,7 @@ class HadoopParquetSink:
         merge_strategy: str = "window",  # "window" (1-shuffle bucket window) | "agg" (union+max_by) | "join" (full outer)
         files_per_bucket: int = 1,
         write_mode: str = "cow",  # "cow" (copy-on-write) | "mor" (merge-on-read deltas)
+        bloom_filter_ndv: int | None = None,
     ):
         self.spark = spark
         self.table_path = table_path
@@ -137,9 +138,37 @@ class HadoopParquetSink:
         # exchange (the sub key is a function of the row key, so per-key
         # windows stay co-located).  Size it so touched × f ≳ 8× cores.
         self.files_per_bucket = max(1, files_per_bucket)
+        # Parquet split-block bloom filters on the key columns.  Inside a
+        # bucket rows arrive in key-HASH order, so repo/path min/max row-group
+        # stats span nearly the whole domain and prune nothing — a point
+        # lookup's pushed equality predicate reads every row group of the
+        # key's bucket.  With blooms, parquet-mr's row-group filter answers
+        # "definitely absent" from the footer-adjacent bitset with zero page
+        # reads, so lookup()/key_history() touch ~1 row group per key no
+        # matter how many files/row-groups the bucket holds (deep MoR delta
+        # stacks, compacted multi-file buckets).  Cost: ~NDV*1.2 bytes per
+        # column per row group at write time, which is why it is opt-in —
+        # the replay headline is write-bound and pays the build cost every
+        # epoch, while only lookup-heavy deployments collect the benefit.
+        # Set to the expected keys per data file (rows_per_file is the right
+        # order; parquet caps the bitset at parquet.bloom.filter.max.bytes).
+        self.bloom_filter_ndv = bloom_filter_ndv
         # test hook: raise after data files are written but BEFORE the
         # manifest publish — the mid-epoch-restart fixture's kill point.
         self.crash_before_publish = False
+
+    def _bloom_options(self) -> dict[str, str]:
+        """DataFrameWriter options enabling key-column bloom filters (no-op
+        dict when disabled) — applied at EVERY data-file write site (merge,
+        MoR deltas, vacuum, purge, rebucket, compact) so every file of a
+        snapshot carries the same lookup-pruning metadata."""
+        if not self.bloom_filter_ndv:
+            return {}
+        opts: dict[str, str] = {}
+        for c in KEY_COLUMNS:
+            opts[f"parquet.bloom.filter.enabled#{c}"] = "true"
+            opts[f"parquet.bloom.filter.expected.ndv#{c}"] = str(self.bloom_filter_ndv)
+        return opts
 
     # -- lifecycle -----------------------------------------------------------
 
@@ -766,7 +795,9 @@ class HadoopParquetSink:
             # agg/join outputs are key-partitioned; lay them out per bucket.
             # window/bucket_agg are ALREADY bucket-partitioned — no shuffle.
             out = out.repartition(max(1, len(touched)), BUCKET_COLUMN)
-        out.write.mode("overwrite").partitionBy(BUCKET_COLUMN).parquet(data_dir)
+        out.write.mode("overwrite").options(**self._bloom_options()).partitionBy(
+            BUCKET_COLUMN
+        ).parquet(data_dir)
         t = _trace(f"merge({self.merge_strategy})+write", t)
         try:
             counts = obs.get
@@ -938,6 +969,7 @@ class HadoopParquetSink:
         (
             out.repartition(max(1, len(touched)), BUCKET_COLUMN)
             .write.mode("overwrite")
+            .options(**self._bloom_options())
             .partitionBy(BUCKET_COLUMN)
             .parquet(data_dir)
         )
@@ -1080,6 +1112,7 @@ class HadoopParquetSink:
         (
             keep.repartition(max(1, len(affected)), BUCKET_COLUMN)
             .write.mode("overwrite")
+            .options(**self._bloom_options())
             .partitionBy(BUCKET_COLUMN)
             .parquet(data_dir)
         )
@@ -1184,6 +1217,7 @@ class HadoopParquetSink:
         (
             out.repartition(max(1, len(affected)), BUCKET_COLUMN)
             .write.mode("overwrite")
+            .options(**self._bloom_options())
             .partitionBy(BUCKET_COLUMN)
             .parquet(data_dir)
         )
@@ -1250,9 +1284,14 @@ class HadoopParquetSink:
         ``len(keys)`` of ``n_buckets`` buckets costs ZERO Spark jobs, and
         the key equality predicate is pushed into the parquet scan
         (``PushedFilters``), so row groups whose repo/path min/max can't
-        match are skipped inside the surviving files too.  Net: a handful
-        of row groups read, regardless of table size.  MoR buckets still
-        resolve their delta stack, but only for the pruned buckets.
+        match are skipped inside the surviving files too.  Rows inside a
+        bucket sit in key-hash order, so min/max spans are wide; tables
+        written with ``bloom_filter_ndv`` set additionally carry parquet
+        split-block blooms on (repo, path), and parquet-mr's row-group
+        filter then drops non-matching row groups with zero page reads.
+        Net: a handful of row groups read, regardless of table size.  MoR
+        buckets still resolve their delta stack, but only for the pruned
+        buckets.
 
         Plan shape pinned by tests/test_plans.py (scan lists only the
         looked-up buckets' files; filters reach the scan).
@@ -1409,6 +1448,7 @@ class HadoopParquetSink:
         (
             out.repartition(new_n_buckets, BUCKET_COLUMN)
             .write.mode("overwrite")
+            .options(**self._bloom_options())
             .partitionBy(BUCKET_COLUMN)
             .parquet(data_dir)
         )
@@ -1524,7 +1564,9 @@ class HadoopParquetSink:
             parted = keep.repartition(n_parts, BUCKET_COLUMN)
         if zc is not None:
             parted = parted.sortWithinPartitions(BUCKET_COLUMN, zc).drop(zc)
-        parted.write.mode("overwrite").partitionBy(BUCKET_COLUMN).parquet(data_dir)
+        parted.write.mode("overwrite").options(**self._bloom_options()).partitionBy(
+            BUCKET_COLUMN
+        ).parquet(data_dir)
         live = {
             int(name.split("=", 1)[1])
             for name in os.listdir(data_dir)
@@ -1851,9 +1893,20 @@ class IcebergSink:
         return df.where(~F.coalesce(F.col("deleted"), F.lit(False)))
 
 
-def open_sink(spark: SparkSession, location: str, n_buckets: int = 64, write_mode: str = "cow"):
+def open_sink(
+    spark: SparkSession,
+    location: str,
+    n_buckets: int = 64,
+    write_mode: str = "cow",
+    bloom_filter_ndv: int | None = None,
+):
     """Pick the sink: Iceberg when available and ``location`` is a table
-    identifier, otherwise the parquet+manifest emulation."""
+    identifier, otherwise the parquet+manifest emulation.  (On the Iceberg
+    path key-column blooms are a table property —
+    ``write.parquet.bloom-filter-enabled.column.<c>`` — not a writer knob.)"""
     if "/" not in location:
         return IcebergSink(spark, location, write_mode=write_mode)
-    return HadoopParquetSink(spark, location, n_buckets=n_buckets, write_mode=write_mode)
+    return HadoopParquetSink(
+        spark, location, n_buckets=n_buckets, write_mode=write_mode,
+        bloom_filter_ndv=bloom_filter_ndv,
+    )
