@@ -1746,6 +1746,14 @@ class IcebergSink:
                 # float→double, decimal precision growth); the parquet sink's
                 # widen_column applies the same rule locally
                 self.spark.sql(f"ALTER TABLE {self.table} ALTER COLUMN {ch.name} TYPE {ch.dtype}")
+            elif ch.kind == "drop":
+                # Iceberg drops are metadata-only and id-tracked natively
+                # (last-column-id), mirroring TableSchema.drop_column; probe
+                # first so a crash-replayed epoch's re-apply stays a no-op
+                if ch.name in KEY_COLUMNS:
+                    raise ValueError(f"cannot drop key column {ch.name!r}")
+                if self._has_column(ch.name):
+                    self.spark.sql(f"ALTER TABLE {self.table} DROP COLUMN {ch.name}")
 
     def last_committed_epoch(self) -> int:
         """Epoch stamp from the table property set at each commit (falls back

@@ -72,16 +72,28 @@ class ColumnSpec:
 
 @dataclass
 class TableSchema:
-    """Ordered column list with stable ids; supports add/rename evolution.
+    """Ordered column list with stable ids; supports add/rename/widen/drop.
 
     The emulated lake sink has no Iceberg column-id tracking for free, so it
     is carried here explicitly (SURVEY.md §7.3 item 5): a rename maps an
     existing id to a new name; an add allocates a fresh id.  Data files are
     written with the names current at write time; readers map file columns
     back to current names by id via the per-snapshot name history.
+
+    ``last_column_id`` is the high-water mark of every id ever allocated
+    (Iceberg's ``last-column-id`` table-metadata field) — WITHOUT it,
+    dropping the max-id column and adding a new one would REUSE the dropped
+    id, and the by-id reader would resurrect the dropped column's bytes
+    from old data files under the new column's name.
     """
 
     columns: list[ColumnSpec] = field(default_factory=list)
+    last_column_id: int = 0
+
+    def __post_init__(self) -> None:
+        self.last_column_id = max(
+            self.last_column_id, max((c.col_id for c in self.columns), default=0)
+        )
 
     @staticmethod
     def from_struct(st: T.StructType) -> "TableSchema":
@@ -93,12 +105,28 @@ class TableSchema:
         return [c.name for c in self.columns]
 
     def next_id(self) -> int:
-        return max((c.col_id for c in self.columns), default=0) + 1
+        return max(
+            self.last_column_id, max((c.col_id for c in self.columns), default=0)
+        ) + 1
 
     def add_column(self, name: str, dtype: str) -> None:
         if name in self.names():
             return  # idempotent: re-applying an epoch's evolution is a no-op
-        self.columns.append(ColumnSpec(self.next_id(), name, dtype))
+        cid = self.next_id()
+        self.columns.append(ColumnSpec(cid, name, dtype))
+        self.last_column_id = cid
+
+    def drop_column(self, name: str) -> None:
+        """Metadata-only column drop (Iceberg ``ALTER TABLE .. DROP COLUMN``):
+        data files keep the bytes, readers stop projecting the id.  A later
+        re-add of the same NAME allocates a fresh id, so old files' values
+        never resurrect — they read as null under the new id.  Keys are the
+        table's identity and the merge's join columns; dropping one is
+        always a modeling error, so it raises.  Idempotent: dropping an
+        absent column is a no-op (crash-replayed epoch evolutions re-apply)."""
+        if name in KEY_COLUMNS:
+            raise ValueError(f"cannot drop key column {name!r}")
+        self.columns = [c for c in self.columns if c.name != name]
 
     def widen_column(self, name: str, dtype: str) -> None:
         """Promote a column to a wider type (Iceberg's safe-evolution set:
@@ -134,12 +162,20 @@ class TableSchema:
             [T.StructField(c.name, _parse_type(c.dtype), True) for c in self.columns]
         )
 
-    def to_json(self) -> list[dict]:
-        return [c.to_json() for c in self.columns]
+    def to_json(self) -> dict:
+        return {
+            "columns": [c.to_json() for c in self.columns],
+            "last_column_id": self.last_column_id,
+        }
 
     @staticmethod
-    def from_json(cols: list[dict]) -> "TableSchema":
-        return TableSchema([ColumnSpec.from_json(c) for c in cols])
+    def from_json(data: list[dict] | dict) -> "TableSchema":
+        if isinstance(data, list):  # pre-drop manifests: bare column list
+            return TableSchema([ColumnSpec.from_json(c) for c in data])
+        return TableSchema(
+            [ColumnSpec.from_json(c) for c in data["columns"]],
+            last_column_id=int(data.get("last_column_id", 0)),
+        )
 
 
 _CANON = {"long": "bigint", "integer": "int", "short": "smallint"}
@@ -187,8 +223,8 @@ def _parse_type(s: str) -> T.DataType:
 class SchemaChange:
     """One evolution step attached to an epoch (applied BEFORE its merge)."""
 
-    kind: str  # "add" | "rename" | "widen"
-    name: str  # new column name (add) / old name (rename) / column (widen)
+    kind: str  # "add" | "rename" | "widen" | "drop"
+    name: str  # new column name (add) / old name (rename) / column (widen/drop)
     dtype: str | None = None  # for add / widen (the new, wider type)
     new_name: str | None = None  # for rename
 
@@ -201,7 +237,7 @@ class SchemaChange:
 
 
 def apply_changes(schema: TableSchema, changes: list[SchemaChange]) -> TableSchema:
-    out = TableSchema(list(schema.columns))
+    out = TableSchema(list(schema.columns), last_column_id=schema.last_column_id)
     for ch in changes:
         if ch.kind == "add":
             out.add_column(ch.name, ch.dtype or "string")
@@ -211,6 +247,8 @@ def apply_changes(schema: TableSchema, changes: list[SchemaChange]) -> TableSche
             if not ch.dtype:
                 raise ValueError("widen requires dtype")
             out.widen_column(ch.name, ch.dtype)
+        elif ch.kind == "drop":
+            out.drop_column(ch.name)
         else:
             raise ValueError(f"unknown schema change kind {ch.kind!r}")
     return out
