@@ -113,7 +113,13 @@ def main() -> None:
     rows: dict[str, int] = {}
     for rd in range(rounds):
         for lv in levels:
-            for c in codecs:  # codecs time-adjacent within a level
+            # codecs time-adjacent within a level, ORDER ALTERNATING per
+            # round: with a fixed order, monotone host drift within the
+            # level window systematically lands on the later codec and
+            # reads as a codec effect (observed in the first 2 rounds:
+            # zstd@8 absorbed a 53→88s within-window collapse)
+            order = codecs if rd % 2 == 0 else codecs[::-1]
+            for c in order:
                 r = run_cell(c, lv, reps, clog)
                 cells[f"{c}@{lv}"] += r["times"]
                 rows[f"{c}@{lv}"] = r["rows"]
