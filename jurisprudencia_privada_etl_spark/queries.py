@@ -2034,6 +2034,36 @@ LIMIT 20
 """
 
 
+def q_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable whole-table state digest (operators/fsck.py): one
+    order/partitioning-independent scan whose value any ANSI engine
+    reproduces — the north rule's "row-for-row sha256 equality vs the
+    reference's replayed state" as a 1-row aggregate instead of a
+    table-sized comparison."""
+    from jurisprudencia_privada_etl_spark.operators.fsck import table_digest
+
+    d = _t(spark, sf_dir, "documents")
+    return table_digest(d, ["doc_id", "text", "lang", "source", "n_chars"])
+
+
+SQL_TABLE_DIGEST = """
+SELECT count(*) AS n_rows,
+       coalesce(bit_xor(from_hex(substr(sha256(proj), 1, 14))::BIT::BIGINT), 0)
+           AS digest_xor,
+       CAST(coalesce(sum(from_hex(substr(sha256(proj), 1, 14))::BIT::HUGEINT), 0)
+            AS VARCHAR) AS digest_sum
+FROM (
+  SELECT concat_ws(chr(0),
+                   coalesce(doc_id::VARCHAR, ''),
+                   coalesce(text::VARCHAR, ''),
+                   coalesce(lang::VARCHAR, ''),
+                   coalesce(source::VARCHAR, ''),
+                   coalesce(n_chars::VARCHAR, '')) AS proj
+  FROM documents
+)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2101,6 +2131,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # incrementally-maintained inverted index (round 4):
     "inverted_index": q_inverted_index,
     "index_search": q_index_search,
+    "table_digest": q_table_digest,
 }
 
 ORACLES: dict[str, str] = {
@@ -2160,6 +2191,7 @@ ORACLES: dict[str, str] = {
     "mview_minmax_rescan": SQL_MVIEW_MINMAX_RESCAN,
     "inverted_index": SQL_INVERTED_INDEX,
     "index_search": SQL_INDEX_SEARCH,
+    "table_digest": SQL_TABLE_DIGEST,
 }
 
 # relational-completeness family (round 4 widening): interval/range join,
