@@ -1682,6 +1682,107 @@ class HadoopParquetSink:
                 pass
         return {"expired_manifests": len(expired), "deleted_bucket_dirs": deleted_dirs}
 
+    def remove_orphan_files(
+        self, older_than_s: float = 259_200.0, dry_run: bool = False
+    ) -> dict:
+        """Sweep data dirs no manifest references — Iceberg's
+        ``remove_orphan_files`` procedure, the third maintenance op next to
+        ``compact`` and ``expire_snapshots``.
+
+        ``expire_snapshots`` only GCs dirs at or BELOW the committed version
+        (an in-flight merge writes at current+1, so higher dirs must stay
+        untouchable there).  That leaves one leak: a writer that crashed
+        after its data write but before its manifest CAS strands a
+        ``v{N}-{token}`` dir ABOVE the committed version, and if no later
+        merge ever advances past N, no expire sweep will ever consider it.
+        This procedure closes that hole with the same safety valve Iceberg
+        uses: only dirs whose mtime is older than ``older_than_s`` (default
+        3 days) are candidates, so a genuinely in-flight writer — which by
+        definition wrote recently — is never raced.  Additionally protected,
+        regardless of age: every dir referenced by ANY manifest version
+        still on disk (expired manifests are gone, so their dirs are fair
+        game — consistent with expire_snapshots) and the staged (WAP)
+        snapshot's own dirs, which may legitimately sit un-audited for
+        longer than the horizon.
+
+        Granularity is per bucket dir: a partially-referenced attempt dir
+        (possible only after manual surgery — normal commits reference all
+        their buckets or none) keeps its referenced buckets.  ``dry_run``
+        reports what WOULD be deleted without touching anything.
+        """
+        import shutil
+        import time
+
+        cutoff = time.time() - older_than_s
+        mdir = os.path.join(self.table_path, mf.MANIFEST_DIR)
+        referenced: set[str] = set()
+        manifests: list[mf.Manifest] = []
+        if os.path.isdir(mdir):
+            for n in sorted(os.listdir(mdir)):
+                if n.startswith("v") and n.endswith(".json"):
+                    m = mf.load(self.table_path, int(n[1:9]))
+                    if m is not None:
+                        manifests.append(m)
+        staged = mf.load_staged(self.table_path)
+        staged_vdirs: set[str] = set()
+        for m in manifests + ([staged] if staged else []):
+            for entry in m.buckets.values():
+                for ref in (entry, *(entry.get("deltas") or [])):
+                    referenced.add(os.path.normpath(ref["path"]))
+                    if m is staged:
+                        parts = os.path.normpath(ref["path"]).split(os.sep)
+                        if len(parts) >= 2:
+                            staged_vdirs.add(parts[1])
+
+        orphans: list[str] = []
+        orphan_files = 0
+        orphan_bytes = 0
+
+        def _account(path: str) -> None:
+            nonlocal orphan_files, orphan_bytes
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    orphan_files += 1
+                    try:
+                        orphan_bytes += os.path.getsize(os.path.join(root, f))
+                    except OSError:  # pragma: no cover - racing deletes
+                        pass
+
+        data_root = os.path.join(self.table_path, "data")
+        if os.path.isdir(data_root):
+            for vdir in sorted(os.listdir(data_root)):
+                vpath = os.path.join(data_root, vdir)
+                if self._dir_version(vdir) is None or not os.path.isdir(vpath):
+                    continue  # unknown layout — never touch
+                if vdir in staged_vdirs:
+                    continue  # WAP stage: protected regardless of age
+                subs = [n for n in os.listdir(vpath) if n.startswith(f"{BUCKET_COLUMN}=")]
+                live = {
+                    n for n in subs
+                    if os.path.normpath(os.path.join("data", vdir, n)) in referenced
+                }
+                candidates = (
+                    [vpath] if not live
+                    else [os.path.join(vpath, n) for n in sorted(set(subs) - live)]
+                )
+                for c in candidates:
+                    try:
+                        if os.path.getmtime(c) >= cutoff:
+                            continue  # inside the in-flight-writer horizon
+                    except OSError:  # pragma: no cover - racing deletes
+                        continue
+                    rel = os.path.relpath(c, self.table_path)
+                    orphans.append(rel)
+                    _account(c)
+                    if not dry_run:
+                        shutil.rmtree(c, ignore_errors=True)
+        return {
+            "orphan_dirs": orphans,
+            "orphan_files": orphan_files,
+            "orphan_bytes": orphan_bytes,
+            "dry_run": dry_run,
+        }
+
 
 class IcebergSink:
     """Production sink: real Iceberg MERGE INTO / ALTER TABLE / snapshot
@@ -1871,6 +1972,32 @@ class IcebergSink:
             f"table => '{self.table}', retain_last => {max(1, keep_last)})"
         )
         return {"expired": True, "retain_last": max(1, keep_last)}
+
+    def remove_orphan_files(
+        self, older_than_s: float = 259_200.0, dry_run: bool = False
+    ) -> dict:
+        """Unreferenced-file GC — Iceberg's ``remove_orphan_files``
+        procedure (same ``older_than`` in-flight-writer horizon as the
+        parquet sink's dir sweep; Iceberg compares against every file any
+        retained snapshot references)."""
+        import datetime
+
+        ts = datetime.datetime.now(datetime.timezone.utc) - datetime.timedelta(
+            seconds=older_than_s
+        )
+        opts = (
+            f"table => '{self.table}', "
+            f"older_than => TIMESTAMP '{ts.strftime('%Y-%m-%d %H:%M:%S')}'"
+        )
+        if dry_run:
+            opts += ", dry_run => true"
+        rows = self.spark.sql(
+            f"CALL {self._catalog()}.system.remove_orphan_files({opts})"
+        ).collect()
+        return {
+            "orphan_dirs": [r[0] for r in rows],
+            "dry_run": dry_run,
+        }
 
     def rollback(self, version: int) -> dict:
         """Restore the table to an earlier snapshot — Iceberg's

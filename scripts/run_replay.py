@@ -65,6 +65,9 @@ def main() -> None:
                     help="with --compact: files per bucket after rewrite")
     ap.add_argument("--expire-snapshots", type=int, metavar="KEEP",
                     help="expire all but the newest KEEP snapshots, then exit")
+    ap.add_argument("--remove-orphans-older-than", type=float, metavar="SECONDS",
+                    help="sweep unreferenced data dirs older than SECONDS "
+                         "(crashed-attempt GC; Iceberg remove_orphan_files), then exit")
     ap.add_argument("--rebucket", type=int, metavar="N",
                     help="re-partition the table onto N hash buckets, then exit")
     ap.add_argument("--rollback", type=int, metavar="VERSION",
@@ -212,6 +215,7 @@ def main() -> None:
         or args.rebucket is not None
         or args.delete_where is not None
         or args.rollback is not None
+        or args.remove_orphans_older_than is not None
     )
     if maintenance:
         sink = HadoopParquetSink(spark, args.table, n_buckets=args.n_buckets)
@@ -234,6 +238,10 @@ def main() -> None:
             out["rollback"] = sink.rollback(args.rollback)
         if args.expire_snapshots is not None:
             out["expire_snapshots"] = sink.expire_snapshots(args.expire_snapshots)
+        if args.remove_orphans_older_than is not None:
+            out["remove_orphan_files"] = sink.remove_orphan_files(
+                older_than_s=args.remove_orphans_older_than
+            )
         print(json.dumps(out))
         return
 

@@ -285,6 +285,21 @@ def test_snapshots_reads_metadata_table():
     assert "FROM lake.docs.snapshots ORDER BY committed_at" in spark.statements[0]
 
 
+def test_remove_orphan_files_calls_procedure_with_horizon():
+    spark = FakeSpark()
+    out = _sink(spark).remove_orphan_files(older_than_s=3600.0)
+    assert out == {"orphan_dirs": [], "dry_run": False}
+    (stmt,) = spark.statements
+    assert stmt.startswith(
+        "CALL spark_catalog.system.remove_orphan_files(table => 'lake.docs', "
+        "older_than => TIMESTAMP '"
+    )
+    assert "dry_run" not in stmt
+    spark2 = FakeSpark()
+    _sink(spark2).remove_orphan_files(older_than_s=3600.0, dry_run=True)
+    assert spark2.statements[0].endswith(", dry_run => true)")
+
+
 def test_rollback_calls_system_procedure():
     spark = FakeSpark()
     out = _sink(spark).rollback(12345)
