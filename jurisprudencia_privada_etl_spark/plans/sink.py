@@ -1618,6 +1618,11 @@ class HadoopParquetSink:
         """
         import shutil
 
+        if self._is_branch_root():
+            raise RuntimeError(
+                "GC must run on the main table, not a branch — branch data "
+                "dirs live in shared storage a branch-local walk can't see"
+            )
         cur = mf.current_version(self.table_path)
         if cur is None:
             return {"expired_manifests": 0, "deleted_bucket_dirs": 0}
@@ -1642,6 +1647,8 @@ class HadoopParquetSink:
                 for d in entry.get("deltas") or []:  # merge-on-read delta refs
                     retained.add(d["schema_version"])
                     referenced_paths.add(os.path.normpath(d["path"]))
+        # branch refs are live data in shared storage, whatever main retains
+        referenced_paths |= self._branch_referenced_paths()
         expired = [v for v in versions if v not in retained]
         # tag schema-only retained manifests so snapshots()/load_at_epoch
         # never resolve a read to a version whose data is gone (the manifest
@@ -1713,6 +1720,11 @@ class HadoopParquetSink:
         import shutil
         import time
 
+        if self._is_branch_root():
+            raise RuntimeError(
+                "GC must run on the main table, not a branch — branch data "
+                "dirs live in shared storage a branch-local walk can't see"
+            )
         cutoff = time.time() - older_than_s
         mdir = os.path.join(self.table_path, mf.MANIFEST_DIR)
         referenced: set[str] = set()
@@ -1733,6 +1745,7 @@ class HadoopParquetSink:
                         parts = os.path.normpath(ref["path"]).split(os.sep)
                         if len(parts) >= 2:
                             staged_vdirs.add(parts[1])
+        referenced |= self._branch_referenced_paths()
 
         orphans: list[str] = []
         orphan_files = 0
@@ -1781,6 +1794,187 @@ class HadoopParquetSink:
             "orphan_files": orphan_files,
             "orphan_bytes": orphan_bytes,
             "dry_run": dry_run,
+        }
+
+    # -- branches (Iceberg branch refs, emulated as forked metadata roots) ----
+    #
+    # A branch is a second metadata root (`_branches/<name>/_manifest/`)
+    # over the SAME physical data (`data` is a symlink to the main table's
+    # data dir).  Branch commits go through the unchanged merge/CAS
+    # machinery — copy-on-write means they only ADD data dirs, never touch
+    # main's — so the full engine (MoR, WAP, schema evolution, time travel
+    # within the branch) works on a branch with zero new write-path code.
+    # Iceberg's analog: `ALTER TABLE .. CREATE BRANCH` + writing to
+    # `table.branch_<name>` + the `fast_forward` procedure.
+
+    BRANCHES_DIR = "_branches"
+
+    def _is_branch_root(self) -> bool:
+        return os.path.islink(os.path.join(self.table_path, "data"))
+
+    def _branch_root(self, name: str) -> str:
+        import re
+
+        if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9_.-]{0,63}", name):
+            raise ValueError(f"invalid branch name {name!r}")
+        return os.path.join(self.table_path, self.BRANCHES_DIR, name)
+
+    def _branch_referenced_paths(self) -> set[str]:
+        """Every data path any branch manifest (or branch WAP stage) still
+        references — the GC-protection set shared by ``expire_snapshots``
+        and ``remove_orphan_files``: branch data lives in the main table's
+        ``data/`` dir, so main-side GC must treat branch refs as live."""
+        out: set[str] = set()
+        broot = os.path.join(self.table_path, self.BRANCHES_DIR)
+        if not os.path.isdir(broot):
+            return out
+        for name in sorted(os.listdir(broot)):
+            b = os.path.join(broot, name)
+            mdir = os.path.join(b, mf.MANIFEST_DIR)
+            if not os.path.isdir(mdir):
+                continue
+            manifests = [
+                mf.load(b, int(n[1:9]))
+                for n in os.listdir(mdir)
+                if n.startswith("v") and n.endswith(".json")
+            ]
+            staged = mf.load_staged(b)
+            if staged is not None:
+                manifests.append(staged)
+            for m in manifests:
+                if m is None:
+                    continue
+                for entry in m.buckets.values():
+                    for ref in (entry, *(entry.get("deltas") or [])):
+                        out.add(os.path.normpath(ref["path"]))
+        return out
+
+    def create_branch(self, name: str, version: int | None = None) -> dict:
+        """Fork a branch at ``version`` (default: current head).
+
+        Copies every manifest ≤ the fork version into the branch's own
+        metadata root (manifests are tiny — this is Iceberg's shared
+        metadata, materialized) so ``schema_version`` back-references and
+        branch-local time travel resolve without reaching into main, and
+        symlinks the shared data dir.  No data is copied or moved.
+        """
+        import json
+
+        if self._is_branch_root():
+            raise ValueError("nested branches are not supported; branch from the main table")
+        root = self._branch_root(name)
+        if os.path.exists(root):
+            raise ValueError(f"branch {name!r} already exists")
+        cur = mf.current_version(self.table_path)
+        if cur is None:
+            raise FileNotFoundError(f"no table at {self.table_path}")
+        fork = cur if version is None else version
+        if mf.load(self.table_path, fork) is None:  # pragma: no cover - guarded by caller
+            raise FileNotFoundError(f"no manifest v{fork} at {self.table_path}")
+        src_mdir = os.path.join(self.table_path, mf.MANIFEST_DIR)
+        dst_mdir = os.path.join(root, mf.MANIFEST_DIR)
+        os.makedirs(dst_mdir)
+        copied = 0
+        for n in sorted(os.listdir(src_mdir)):
+            if n.startswith("v") and n.endswith(".json") and int(n[1:9]) <= fork:
+                shutil.copyfile(os.path.join(src_mdir, n), os.path.join(dst_mdir, n))
+                copied += 1
+        os.makedirs(os.path.join(self.table_path, "data"), exist_ok=True)
+        os.symlink(os.path.join("..", "..", "data"), os.path.join(root, "data"))
+        with open(os.path.join(root, "branch.json"), "w") as f:
+            json.dump({"name": name, "fork_version": fork}, f)
+        return {"branch": name, "fork_version": fork, "manifests_copied": copied}
+
+    def branch(self, name: str) -> "HadoopParquetSink":
+        """A sink rooted at the branch — same engine, isolated metadata."""
+        root = self._branch_root(name)
+        if not os.path.isdir(root):
+            raise FileNotFoundError(f"no branch {name!r} at {self.table_path}")
+        return HadoopParquetSink(
+            self.spark, root, n_buckets=self.n_buckets,
+            merge_strategy=self.merge_strategy,
+            files_per_bucket=self.files_per_bucket,
+            write_mode=self.write_mode, bloom_filter_ndv=self.bloom_filter_ndv,
+        )
+
+    def branches(self) -> list[dict]:
+        import json
+
+        broot = os.path.join(self.table_path, self.BRANCHES_DIR)
+        out: list[dict] = []
+        if not os.path.isdir(broot):
+            return out
+        for name in sorted(os.listdir(broot)):
+            b = os.path.join(broot, name)
+            meta_path = os.path.join(b, "branch.json")
+            if not os.path.isfile(meta_path):
+                continue
+            with open(meta_path) as f:
+                meta = json.load(f)
+            head = mf.current_version(b)
+            m = mf.load(b, head) if head is not None else None
+            out.append({
+                "name": name,
+                "fork_version": meta["fork_version"],
+                "head_version": head,
+                "last_committed_epoch": m.last_committed_epoch if m else None,
+            })
+        return out
+
+    def drop_branch(self, name: str) -> dict:
+        """Delete the branch's metadata root.  Its data dirs (shared
+        storage, now unreferenced) become orphans for
+        ``remove_orphan_files`` / ``expire_snapshots`` to reclaim.
+        ``shutil.rmtree`` unlinks the ``data`` symlink without following
+        it, so shared data is never touched here."""
+        root = self._branch_root(name)
+        if not os.path.isdir(root):
+            return {"dropped": False}
+        shutil.rmtree(root)
+        return {"dropped": True, "branch": name}
+
+    def fast_forward(self, name: str) -> dict:
+        """Adopt the branch's commits onto main — Iceberg's
+        ``fast_forward`` procedure.
+
+        Requires main's head to still BE the fork point (strictly-ahead
+        semantics; a diverged main must re-branch/rebase — merge is out of
+        scope, as in Iceberg).  Each branch manifest from fork+1 to the
+        branch head is published into main through the normal CAS, so a
+        concurrent main commit loses exactly one of the two writers and the
+        fast-forward aborts cleanly on ``CommitConflictError``.  Every
+        adopted version is a consistent snapshot (it was one on the
+        branch), so readers racing the adoption see monotone state.  After
+        adoption, main's ``last_committed_epoch`` is the branch's — the
+        replay loop resumes exactly where the branch left off.
+        """
+        import json
+
+        root = self._branch_root(name)
+        meta_path = os.path.join(root, "branch.json")
+        if not os.path.isfile(meta_path):
+            raise FileNotFoundError(f"no branch {name!r} at {self.table_path}")
+        with open(meta_path) as f:
+            fork = json.load(f)["fork_version"]
+        cur = mf.current_version(self.table_path)
+        if cur != fork:
+            raise mf.CommitConflictError(
+                f"main advanced past the fork point (v{fork} -> v{cur}); "
+                f"fast-forward must be strictly ahead — re-branch from the "
+                f"new head and replay the branch's epochs onto it"
+            )
+        head = mf.current_version(root)
+        adopted: list[int] = []
+        for v in range(fork + 1, (head or fork) + 1):
+            m = mf.load(root, v)
+            if m is None:  # pragma: no cover - branch versions are contiguous
+                continue
+            mf.publish(self.table_path, m)
+            adopted.append(v)
+        return {
+            "fast_forwarded": name,
+            "adopted_versions": adopted,
+            "new_head": mf.current_version(self.table_path),
         }
 
 
@@ -1998,6 +2192,28 @@ class IcebergSink:
             "orphan_dirs": [r[0] for r in rows],
             "dry_run": dry_run,
         }
+
+    def create_branch(self, name: str, version: int | None = None) -> dict:
+        """Branch ref — Iceberg's ``ALTER TABLE .. CREATE BRANCH`` (writes
+        then target ``<table>.branch_<name>``; the parquet sink emulates the
+        same with a forked metadata root over shared data)."""
+        at = f" AS OF VERSION {version}" if version is not None else ""
+        self.spark.sql(f"ALTER TABLE {self.table} CREATE BRANCH `{name}`{at}")
+        return {"branch": name, "fork_version": version}
+
+    def drop_branch(self, name: str) -> dict:
+        self.spark.sql(f"ALTER TABLE {self.table} DROP BRANCH `{name}`")
+        return {"dropped": True, "branch": name}
+
+    def fast_forward(self, name: str) -> dict:
+        """Advance main to the branch head — Iceberg's ``fast_forward``
+        procedure (fails unless main is an ancestor of the branch, the same
+        strictly-ahead contract the parquet sink enforces)."""
+        self.spark.sql(
+            f"CALL {self._catalog()}.system.fast_forward("
+            f"table => '{self.table}', branch => 'main', to => '{name}')"
+        )
+        return {"fast_forwarded": name}
 
     def rollback(self, version: int) -> dict:
         """Restore the table to an earlier snapshot — Iceberg's

@@ -300,6 +300,22 @@ def test_remove_orphan_files_calls_procedure_with_horizon():
     assert spark2.statements[0].endswith(", dry_run => true)")
 
 
+def test_branch_ddl_and_fast_forward_procedure():
+    spark = FakeSpark()
+    s = _sink(spark)
+    s.create_branch("wip")
+    s.create_branch("pinned", version=42)
+    s.fast_forward("wip")
+    s.drop_branch("wip")
+    assert spark.statements == [
+        "ALTER TABLE lake.docs CREATE BRANCH `wip`",
+        "ALTER TABLE lake.docs CREATE BRANCH `pinned` AS OF VERSION 42",
+        "CALL spark_catalog.system.fast_forward(table => 'lake.docs', "
+        "branch => 'main', to => 'wip')",
+        "ALTER TABLE lake.docs DROP BRANCH `wip`",
+    ]
+
+
 def test_rollback_calls_system_procedure():
     spark = FakeSpark()
     out = _sink(spark).rollback(12345)
