@@ -101,7 +101,11 @@ def fsck(sink, digest_columns: list[str] | None = None) -> dict[str, Any]:
     Phase 1 (driver, zero Spark jobs): every bucket entry in the current
     manifest — including merge-on-read delta refs — must point at an
     existing dir whose ``*.parquet`` footers open; footer row counts are
-    collected as a byproduct.
+    collected as a byproduct.  This is metadata-proportional (one footer
+    read per data file, ~KBs each); for tables whose file count outgrows a
+    driver loop, lift the same check onto executors with
+    ``spark.read.format("binaryFile")`` over the manifest's paths — the
+    per-file validation is embarrassingly parallel.
 
     Phase 2 (one Spark scan of the live snapshot):
       * misbucketed rows — stored bucket ≠ ``pmod(xxhash64(repo, path),

@@ -1716,6 +1716,12 @@ class HadoopParquetSink:
         (possible only after manual surgery — normal commits reference all
         their buckets or none) keeps its referenced buckets.  ``dry_run``
         reports what WOULD be deleted without touching anything.
+
+        The walk is metadata-proportional (version dirs × bucket dirs, no
+        data reads); Iceberg's procedure distributes the listing for
+        object-store trees too large for one process — the same lift
+        applies here (parallelize ``os.listdir`` over executors) long
+        before data volume is a factor.
         """
         import shutil
         import time

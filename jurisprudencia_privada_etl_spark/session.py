@@ -32,13 +32,20 @@ _DEFAULTS = {
     # 1049 MB) — at 100 TB that is 39% less IO on every sink write, bucket
     # rescan, change feed, and snapshot read.
     "spark.sql.parquet.compression.codec": "zstd",
+    # Shuffle/IO codec zstd over the lz4 default: interleaved order-alternating
+    # A/B on the 8M-event replay (BENCH/ab_shuffle_codec.md) — the merge
+    # shuffle carries the full content payload and the high-thread level is
+    # memory-bandwidth-bound, so fewer shuffle bytes at more CPU/byte wins
+    # there (both rounds, incl. against the drift handicap) and is a wash at
+    # the CPU-bound low-thread level.  JVM-start conf: builder path only.
+    "spark.io.compression.codec": "zstd",
     "spark.ui.enabled": "false",
 }
 
 
 # Confs that cannot be changed after the JVM starts; apply_runtime_defaults
 # must not touch them on a live session.
-_STATIC_KEYS = {"spark.driver.memory", "spark.ui.enabled"}
+_STATIC_KEYS = {"spark.driver.memory", "spark.ui.enabled", "spark.io.compression.codec"}
 
 
 def apply_runtime_defaults(spark: SparkSession) -> None:

@@ -65,6 +65,18 @@ def main() -> None:
                     help="with --compact: files per bucket after rewrite")
     ap.add_argument("--expire-snapshots", type=int, metavar="KEEP",
                     help="expire all but the newest KEEP snapshots, then exit")
+    ap.add_argument("--max-epoch", type=int, metavar="N",
+                    help="replay only epochs <= N (bounded catch-up; resume "
+                         "later runs from the manifest as usual)")
+    ap.add_argument("--create-branch", metavar="NAME",
+                    help="fork a branch at the current head, then exit")
+    ap.add_argument("--drop-branch", metavar="NAME",
+                    help="delete a branch's metadata root, then exit")
+    ap.add_argument("--fast-forward", metavar="NAME",
+                    help="adopt NAME's commits onto main (strictly-ahead), then exit")
+    ap.add_argument("--branch", metavar="NAME",
+                    help="replay into branch NAME instead of main (audit the "
+                         "result, then --fast-forward it)")
     ap.add_argument("--remove-orphans-older-than", type=float, metavar="SECONDS",
                     help="sweep unreferenced data dirs older than SECONDS "
                          "(crashed-attempt GC; Iceberg remove_orphan_files), then exit")
@@ -216,6 +228,9 @@ def main() -> None:
         or args.delete_where is not None
         or args.rollback is not None
         or args.remove_orphans_older_than is not None
+        or args.create_branch is not None
+        or args.drop_branch is not None
+        or args.fast_forward is not None
     )
     if maintenance:
         sink = HadoopParquetSink(spark, args.table, n_buckets=args.n_buckets)
@@ -242,6 +257,12 @@ def main() -> None:
             out["remove_orphan_files"] = sink.remove_orphan_files(
                 older_than_s=args.remove_orphans_older_than
             )
+        if args.create_branch is not None:
+            out["create_branch"] = sink.create_branch(args.create_branch)
+        if args.fast_forward is not None:
+            out["fast_forward"] = sink.fast_forward(args.fast_forward)
+        if args.drop_branch is not None:
+            out["drop_branch"] = sink.drop_branch(args.drop_branch)
         print(json.dumps(out))
         return
 
@@ -253,7 +274,19 @@ def main() -> None:
         stream_replay(spark, args.changelog, args.table, args.checkpoint, cfg)
         sink = HadoopParquetSink(spark, args.table, n_buckets=args.n_buckets)
     else:
-        sink = replay(spark, args.changelog, args.table, cfg)
+        target = args.table
+        if args.branch is not None:
+            # replay lands on the branch's metadata root; the branch must
+            # already exist (create it with --create-branch)
+            target = HadoopParquetSink(
+                spark, args.table, n_buckets=args.n_buckets
+            ).branch(args.branch).table_path
+        epochs = None
+        if args.max_epoch is not None:
+            from jurisprudencia_privada_etl_spark.sources.changelog import list_epochs
+
+            epochs = [e for e in list_epochs(spark, args.changelog) if e <= args.max_epoch]
+        sink = replay(spark, args.changelog, target, cfg, epochs=epochs)
 
     m = sink.manifest()
     print(json.dumps({"last_committed_epoch": m.last_committed_epoch,

@@ -120,6 +120,41 @@ def test_main_gc_protects_branch_data(spark, tmp_path):
     assert sink.load().count() == 40  # main unaffected
 
 
+def test_branch_cli_roundtrip(spark, tmp_path):
+    """spark-submit surface: create a branch, replay NEW epochs into it,
+    audit, fast-forward onto main — all via scripts/run_replay.py flags."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = os.path.join(repo, "scripts", "run_replay.py")
+    env = dict(os.environ, PYTHONPATH=repo)
+    clog, table = str(tmp_path / "clog"), str(tmp_path / "tbl")
+
+    def run(*extra):
+        out = subprocess.run(
+            [_sys.executable, script, "--changelog", clog, "--table", table, *extra],
+            capture_output=True, text=True, env=env, timeout=300,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return _json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][-1])
+
+    # main stops at epoch 1; epochs 2-3 are replayed onto a branch first
+    # (audit-before-adopt), then fast-forwarded onto main
+    r = run("--generate", "2000", "--max-epoch", "1")
+    assert r["last_committed_epoch"] == 1
+    assert run("--create-branch", "wip")["create_branch"]["branch"] == "wip"
+    rb = run("--branch", "wip")
+    assert rb["last_committed_epoch"] == 3  # branch caught up past the fork
+    ff = run("--fast-forward", "wip")["fast_forward"]
+    assert len(ff["adopted_versions"]) == 2  # one commit per adopted epoch
+    # main resumed at the branch's cursor; a plain re-run is now a no-op
+    r2 = run()
+    assert r2["last_committed_epoch"] == 3
+    assert run("--drop-branch", "wip")["drop_branch"]["dropped"]
+
+
 def test_branch_guards(spark, tmp_path):
     sink = _table(spark, tmp_path)
     sink.create_branch("a")
