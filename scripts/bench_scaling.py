@@ -171,7 +171,10 @@ def run_level(cpus: int, reps: int, wd: str, first_round: bool) -> dict:
 
 
 ROUNDS_JSON = os.path.join(REPO, "BENCH", "scaling_rounds.json")
-CONFIG_TAG = "n_salts=0,files_per_bucket=2,n_buckets=128"  # must match CFG()
+# must match CFG() + the session's JVM-start perf confs; bumping the tag
+# quarantines older rounds (lz4-shuffle rounds live in
+# BENCH/scaling_rounds_lz4shuffle.json)
+CONFIG_TAG = "n_salts=0,files_per_bucket=2,n_buckets=128,io_codec=zstd"
 
 
 def main():
