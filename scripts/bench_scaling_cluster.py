@@ -1,0 +1,276 @@
+#!/usr/bin/env python3
+"""N vs 4N EXECUTORS, literally: the same spark-submit --py-files replay on
+``local-cluster[1,8,12288]`` and ``local-cluster[4,8,12288]``.
+
+The thread-level bench (scripts/bench_scaling.py) scales local[8] → local[32]
+inside ONE JVM — cores as the north rule's sandbox stand-in.  This script is
+the corroboration at the rule's own granularity: Spark's testing master
+launches real, separate executor JVMs (own heaps, own GCs, own python-worker
+daemons), the engine zip ships via ``--py-files`` exactly as it would to a
+YARN/K8s cluster, and the merge shuffle moves blocks between executors
+through netty instead of in-process memory.  1 executor × 8 cores vs
+4 executors × 8 cores is N → 4N executors on one host.
+
+Protocol mirrors the thread bench where it matters:
+  * interleaved (N, 4N) pairs — time-adjacent, so host drift lands inside a
+    pair, not between the levels of a ratio;
+  * ``taskset`` pins the whole JVM tree (driver, executors, python workers)
+    to 8 resp. 32 cores, so the 1-executor level cannot borrow idle cores;
+  * fresh cluster per level, JIT/python-worker warmup replay + one untimed
+    full pass (page cache), then ``reps`` timed replays, best-of kept;
+  * GIL-free all-core python burns bracket each level — the same
+    host-weather tamper-detector the thread bench uses;
+  * shuffle + sink on tmpfs (``/dev/shm``): the sandbox has one fixed local
+    disk, which a real 4-executor cluster would not share.
+  * the runner ASSERTS the executor count it got (statusTracker) — a level
+    that silently fell back to fewer executors never reports a number.
+
+Usage: python scripts/bench_scaling_cluster.py [n_events] [rounds] [reps] [--append]
+Writes BENCH/cluster_rounds.json and renders BENCH/cluster_scaling.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_HOME = os.environ.get("SPARK_HOME", "/opt/spark")
+SPARK_SUBMIT = os.path.join(SPARK_HOME, "bin", "spark-submit")
+
+GEN = r"""
+import sys
+sys.path.insert(0, {repo!r})
+from jurisprudencia_privada_etl_spark.session import get_spark
+from jurisprudencia_privada_etl_spark.sources.generator import synthetic_changelog
+from jurisprudencia_privada_etl_spark.sources.changelog import write_changelog
+spark = get_spark("cluster-scaling-gen", master="local[32]")
+spark.sparkContext.setLogLevel("ERROR")
+n = {n_events}
+log = synthetic_changelog(spark, n, seed=42, n_epochs=2, n_repos=4000,
+                          paths_per_repo=4000, skew=3.0, pct_update=0.35,
+                          pct_delete=0.10, num_partitions=max(64, n // 100_000))
+write_changelog(log, {wd!r} + "/clog")
+wlog = synthetic_changelog(spark, 50_000, n_epochs=1, num_partitions=16)
+write_changelog(wlog, {wd!r} + "/wclog")
+print("generated", n)
+spark.stop()
+"""
+
+# The submitted job: a plain spark-submit entrypoint — builder.getOrCreate()
+# takes the master/confs from the submit command, the engine package resolves
+# ONLY through --py-files (parent strips PYTHONPATH, neutral cwd).
+RUNNER = r'''
+import json, shutil, sys, time
+from pyspark.sql import SparkSession
+
+wd, shm, n_execs, reps = sys.argv[1], sys.argv[2], int(sys.argv[3]), int(sys.argv[4])
+spark = SparkSession.builder.getOrCreate()
+spark.sparkContext.setLogLevel("ERROR")
+from jurisprudencia_privada_etl_spark.session import apply_runtime_defaults
+from jurisprudencia_privada_etl_spark.plans.replay import ReplayConfig, replay
+apply_runtime_defaults(spark)
+
+# local-cluster must have ACTUALLY given us n_execs separate executors
+# (driver excluded) — refuse to report a number measured on the wrong shape.
+# Executors register asynchronously after cluster start; wait for them.
+def executor_list():
+    return [e.host() + ":" + str(e.port())
+            for e in spark.sparkContext._jsc.sc().statusTracker().getExecutorInfos()]
+
+deadline = time.time() + 120
+execs = executor_list()
+while len(execs) - 1 < n_execs and time.time() < deadline:
+    time.sleep(1)
+    execs = executor_list()
+n_seen = len(execs) - 1
+assert n_seen == n_execs, f"wanted {n_execs} executors, cluster gave {n_seen}: {execs}"
+
+CFG = lambda: ReplayConfig(n_salts=0, n_buckets=128, files_per_bucket=2)
+
+def run_replay(src, tag):
+    table = shm + "/" + tag
+    t0 = time.time()
+    replay(spark, src, table, CFG())
+    dt = time.time() - t0
+    shutil.rmtree(table, ignore_errors=True)
+    return dt
+
+run_replay(wd + "/wclog", "warmtable")   # JIT + python-worker warmup
+run_replay(wd + "/clog", "cachewarm")    # untimed page-cache pass
+full = [run_replay(wd + "/clog", "t_%d" % r) for r in range(reps)]
+print("RESULT " + json.dumps({"n_execs": n_execs, "full_sec": full,
+                              "executors": execs}))
+spark.stop()
+'''
+
+
+def calibrate(nprocs: int, cpu_list: str, sec: float = 4.0) -> float:
+    """GIL-free all-core python burn on the level's core mask (parent-side,
+    between submits — brackets the level's whole window)."""
+    code = (
+        "import multiprocessing as mp, time, sys\n"
+        "def burn(q):\n"
+        "    end = time.time() + %f\n"
+        "    x = 0\n"
+        "    while time.time() < end:\n"
+        "        for _ in range(10000): x += 1\n"
+        "    q.put(x)\n"
+        "q = mp.Queue()\n"
+        "ps = [mp.Process(target=burn, args=(q,)) for _ in range(%d)]\n"
+        "[p.start() for p in ps]; [p.join() for p in ps]\n"
+        "print(sum(q.get() for _ in ps) / %f)\n" % (sec, nprocs, sec)
+    )
+    out = subprocess.run(["taskset", "-c", cpu_list, sys.executable, "-c", code],
+                         capture_output=True, text=True, check=True)
+    return float(out.stdout.strip().splitlines()[-1])
+
+
+def run_level(n_execs: int, cores: int, wd: str, zip_path: str, reps: int) -> dict:
+    total = n_execs * cores
+    cpu_list = f"0-{total - 1}"
+    shm = f"/dev/shm/cluster_scaling_{n_execs}x{cores}"
+    os.makedirs(shm, exist_ok=True)
+    runner = os.path.join(wd, "cluster_runner.py")
+    with open(runner, "w") as f:
+        f.write(RUNNER)
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["SPARK_HOME"] = SPARK_HOME
+    calib = [calibrate(total, cpu_list)]
+    try:
+        out = subprocess.run(
+            ["taskset", "-c", cpu_list, SPARK_SUBMIT,
+             "--master", f"local-cluster[{n_execs},{cores},12288]",
+             "--py-files", zip_path,
+             "--conf", "spark.executor.memory=10g",
+             "--conf", "spark.driver.memory=6g",
+             "--conf", "spark.io.compression.codec=zstd",
+             "--conf", f"spark.sql.shuffle.partitions={total * 4}",
+             "--conf", "spark.sql.adaptive.enabled=false",
+             "--conf", f"spark.local.dir={shm}/sparktmp",
+             "--conf", "spark.python.worker.faulthandler.enabled=true",
+             "--conf", "spark.executor.extraJavaOptions=-XX:+UseParallelGC",
+             "--conf", "spark.driver.extraJavaOptions=-XX:+UseParallelGC",
+             runner, wd, shm, str(n_execs), str(reps)],
+            cwd=wd, env=env, capture_output=True, text=True, timeout=3600,
+        )
+        if out.returncode != 0:
+            raise RuntimeError(f"submit failed: {out.stderr[-3000:]}")
+        line = [l for l in out.stdout.splitlines() if l.startswith("RESULT ")][-1]
+        res = json.loads(line[len("RESULT "):])
+    finally:
+        shutil.rmtree(shm, ignore_errors=True)
+    calib.append(calibrate(total, cpu_list))
+    res["calib_iters_per_sec"] = calib
+    return res
+
+
+ROUNDS_JSON = os.path.join(REPO, "BENCH", "cluster_rounds.json")
+CONFIG_TAG = "n_salts=0,files_per_bucket=2,n_buckets=128,io_codec=zstd,local-cluster"
+
+
+def _render(n_events: int, pair_rounds: list) -> str:
+    lines = [
+        "# BENCH/cluster_scaling — N vs 4N separate executor JVMs",
+        "",
+        "`spark-submit --py-files engine.zip` on `local-cluster[1,8,12288]`",
+        "vs `local-cluster[4,8,12288]` — real executor JVMs (own heaps, own",
+        "python workers, netty shuffle), the north rule's own granularity;",
+        f"same {n_events:,}-event input and replay config as the thread-level",
+        "table in BENCH/BASELINE.md.  `taskset` pins each level's whole JVM",
+        "tree to 8 resp. 32 cores; the runner asserts the executor count it",
+        "actually got.  GIL-free burns bracket each level window.",
+        "",
+        "| round | 1 exec × 8 cores | 4 execs × 8 cores | N→4N efficiency | brackets 1x8 (M/s) | brackets 4x8 (M/s) |",
+        "|---|---|---|---|---|---|",
+    ]
+    effs = []
+    for i, pair in enumerate(pair_rounds):
+        b1, b4 = min(pair["1"]["full_sec"]), min(pair["4"]["full_sec"])
+        eff = b1 / (4 * b4)
+        effs.append(eff)
+        c1 = "/".join(f"{c / 1e6:.0f}" for c in pair["1"]["calib_iters_per_sec"])
+        c4 = "/".join(f"{c / 1e6:.0f}" for c in pair["4"]["calib_iters_per_sec"])
+        lines.append(
+            f"| {i} | {b1:.1f}s ({n_events / b1:,.0f} ev/s) "
+            f"| {b4:.1f}s ({n_events / b4:,.0f} ev/s) | **{eff:.2f}** | {c1} | {c4} |"
+        )
+    effs.sort()
+    med = effs[len(effs) // 2] if len(effs) % 2 else (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2
+    lines += [
+        "",
+        f"Median N→4N executor-level efficiency: **{med:.2f}** across {len(effs)} round(s).",
+        "",
+        "Raw replicates:",
+        "",
+    ]
+    for i, pair in enumerate(pair_rounds):
+        for k, label in (("1", "1x8"), ("4", "4x8")):
+            lines.append(
+                f"* round {i} {label}: full={[round(s, 1) for s in pair[k]['full_sec']]} "
+                f"executors={len(pair[k]['executors']) - 1}"
+            )
+    lines += [
+        "",
+        "Caveats: one host, one memory system — 4 executor JVMs here still",
+        "share the socket a real 4-node cluster would not (the replica-ceiling",
+        "experiment in BENCH/BASELINE.md measures that hardware wall at",
+        "0.40-0.55 for this workload); and the 8-core level carries the whole",
+        "driver+AM overhead inside its 8-core mask.  Both push the measured",
+        "ratio DOWN relative to a real cluster.",
+        "",
+    ]
+    return "\n".join(lines)
+
+
+def main() -> None:
+    n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 32_000_000
+    rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    append = "--append" in sys.argv
+
+    wd = tempfile.mkdtemp(prefix="bench_cluster_")
+    zip_path = os.path.join(wd, "engine.zip")
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import build_pyfiles
+
+    build_pyfiles.build(REPO, zip_path)
+
+    if rounds > 0:
+        subprocess.run([sys.executable, "-c",
+                        GEN.format(repo=REPO, n_events=n_events, wd=wd)], check=True)
+
+    pair_rounds = []
+    if append and os.path.exists(ROUNDS_JSON):
+        with open(ROUNDS_JSON) as f:
+            prev = json.load(f)
+        if prev.get("n_events") == n_events and prev.get("config") == CONFIG_TAG:
+            pair_rounds = prev["pair_rounds"]
+
+    try:
+        for _ in range(rounds):
+            pair = {}
+            for n_execs in (1, 4):
+                pair[str(n_execs)] = run_level(n_execs, 8, wd, zip_path, reps)
+                print(f"round {len(pair_rounds)} execs {n_execs}: {pair[str(n_execs)]}",
+                      flush=True)
+            pair_rounds.append(pair)
+            # persist after every full pair — a killed run loses nothing
+            os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+            with open(ROUNDS_JSON, "w") as f:
+                json.dump({"n_events": n_events, "config": CONFIG_TAG,
+                           "pair_rounds": pair_rounds}, f, indent=1)
+            md = os.path.join(REPO, "BENCH", "cluster_scaling.md")
+            with open(md, "w") as f:
+                f.write(_render(n_events, pair_rounds))
+            print(f"wrote {md}", flush=True)
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
