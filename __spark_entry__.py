@@ -6,7 +6,7 @@
 ``queries`` — one entry per implemented operator (SURVEY.md §2); see
               jurisprudencia_privada_etl_spark/queries.py.
 ``oracle_sql`` — DuckDB-equivalent SQL per query; every queries() entry is
-              paired (56/56 — hash-dependent operators are restructured to
+              paired (72/72 — hash-dependent operators are restructured to
               engine-independent expected results or replicate the index
               from shared literals; see queries.py section comments).
 """

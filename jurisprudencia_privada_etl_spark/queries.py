@@ -1194,6 +1194,83 @@ FROM documents
 """
 
 
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (the reference's anonymize stage, operators/redact.py):
+    deterministic PII is stitched onto each document from its doc_id — email,
+    intl phone, NIF, case number — then the ordered regexp_replace chain
+    scrubs it and the audit counts are emitted.  All JVM expressions; the
+    oracle replays the identical RE2-compatible chain.  Rule-order semantics
+    are exercised for real: NIFs lpad-generated with a leading 9 get claimed
+    by the PHONE rule first, identically on both engines."""
+    from jurisprudencia_privada_etl_spark.operators.redact import redact, redaction_counts
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    pii = F.concat(
+        F.col("text"),
+        F.lit(" Contacto: user"), did.cast("string"),
+        F.lit("@tribunal.example.pt tel +3519"),
+        F.lpad(F.pmod(did * 7919, F.lit(100000000)).cast("string"), 8, "0"),
+        F.lit(" NIF "),
+        F.lpad(F.pmod(did * 104729 + 11, F.lit(1000000000)).cast("string"), 9, "0"),
+        F.lit(" Proc "), (F.pmod(did, F.lit(9000)) + 1000).cast("string"),
+        F.lit("/20.7T8LSB fim."),
+    )
+    c = redaction_counts(pii)
+    return d.select(
+        "doc_id",
+        redact(pii).alias("redacted"),
+        c["n_email"].cast("long").alias("n_email"),
+        c["n_iban"].cast("long").alias("n_iban"),
+        c["n_phone"].cast("long").alias("n_phone"),
+        c["n_id"].cast("long").alias("n_id"),
+        c["n_proc"].cast("long").alias("n_proc"),
+    )
+
+
+def _redact_oracle_sql() -> str:
+    """Render the oracle from the SAME PII_RULES literals the Spark chain
+    uses: progressive per-step CTE columns so counts see exactly the text
+    their replace step saw."""
+    from jurisprudencia_privada_etl_spark.operators.redact import PII_RULES
+
+    ctes = [
+        """p AS (
+  SELECT doc_id,
+         text || ' Contacto: user' || CAST(doc_id AS VARCHAR)
+              || '@tribunal.example.pt tel +3519'
+              || lpad(CAST((doc_id * 7919) % 100000000 AS VARCHAR), 8, '0')
+              || ' NIF '
+              || lpad(CAST((doc_id * 104729 + 11) % 1000000000 AS VARCHAR), 9, '0')
+              || ' Proc ' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+              || '/20.7T8LSB fim.' AS t0
+  FROM documents)"""
+    ]
+    counts: dict[str, list[str]] = {}
+    carried = ""  # accumulated count columns to carry through each CTE
+    for i, (cat, pat) in enumerate(PII_RULES):
+        assert "'" not in pat
+        ctes.append(
+            f"r{i} AS (SELECT doc_id, "
+            f"regexp_replace(t{i}, '{pat}', '<{cat}>', 'g') AS t{i + 1}, "
+            f"len(regexp_extract_all(t{i}, '{pat}')) AS n{i}{carried} "
+            f"FROM {'p' if i == 0 else f'r{i - 1}'})"
+        )
+        counts.setdefault(cat.lower(), []).append(f"n{i}")
+        carried += f", n{i}"
+    count_cols = ", ".join(
+        f"{' + '.join(ns)} AS n_{cat}" for cat, ns in counts.items()
+    )
+    last = len(PII_RULES) - 1
+    return (
+        f"WITH {', '.join(ctes)}\n"
+        f"SELECT doc_id, t{last + 1} AS redacted, {count_cols} FROM r{last}"
+    )
+
+
+SQL_REDACT_PII = _redact_oracle_sql()
+
+
 # -- ANN oracle machinery: the hyperplanes/anchors below are the SAME lists
 # the Spark queries pass in, rendered as SQL double literals.  All float
 # reductions on both sides are sequential in-order double folds, so bucket
@@ -2110,6 +2187,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_dedup_count": q_simhash_dedup_count,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
+    "redact_pii": q_redact_pii,
     "lsh_topk": q_lsh_topk,
     "ivf_topk": q_ivf_topk,
     "embedding_dedup_count": q_embedding_dedup_count,
@@ -2174,6 +2252,7 @@ ORACLES: dict[str, str] = {
     "simhash_dedup_count": SQL_SIMHASH_DEDUP_COUNT,
     "lang_id": SQL_LANG_ID,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "redact_pii": SQL_REDACT_PII,
     "lsh_topk": SQL_LSH_TOPK,
     "ivf_topk": SQL_IVF_TOPK,
     "embedding_dedup_count": SQL_EMBEDDING_DEDUP_COUNT,
