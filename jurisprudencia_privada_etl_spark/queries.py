@@ -2141,6 +2141,62 @@ FROM (
 """
 
 
+def q_grouped_state_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group state digests — the anti-entropy repair primitive
+    (operators/antientropy.py `bucket_digests`) in its engine-portable
+    form: rows group on a sha256-derived id (any ANSI engine computes the
+    identical grouping — the physical xxhash64 bucket id is Spark-only),
+    each group folds to the same (n_rows, xor, sum) digest triple as
+    table_digest.  Two replicas compare 16 rows to find WHICH slices of a
+    100 TB table diverged, then re-ship only those."""
+    d = _t(spark, sf_dir, "documents")
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    proj = F.concat_ws(
+        "\x00", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols]
+    )
+    h56 = F.conv(F.substring(F.sha2(proj, 256), 1, 14), 16, 10).cast("long")
+    gid = F.pmod(
+        F.conv(
+            F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 4), 16, 10
+        ).cast("long"),
+        F.lit(16),
+    )
+    return (
+        d.select(gid.alias("group_id"), h56.alias("h"))
+        .groupBy("group_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.coalesce(F.bit_xor("h"), F.lit(0)).alias("digest_xor"),
+            F.coalesce(
+                F.sum(F.col("h").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            )
+            .cast("string")
+            .alias("digest_sum"),
+        )
+    )
+
+
+SQL_GROUPED_STATE_DIGEST = """
+SELECT group_id,
+       count(*) AS n_rows,
+       coalesce(bit_xor(h), 0) AS digest_xor,
+       CAST(coalesce(sum(h::HUGEINT), 0) AS VARCHAR) AS digest_sum
+FROM (
+  SELECT from_hex(substr(sha256(doc_id::VARCHAR), 1, 4))::BIT::BIGINT % 16
+             AS group_id,
+         from_hex(substr(sha256(concat_ws(chr(0),
+                   coalesce(doc_id::VARCHAR, ''),
+                   coalesce(text::VARCHAR, ''),
+                   coalesce(lang::VARCHAR, ''),
+                   coalesce(source::VARCHAR, ''),
+                   coalesce(n_chars::VARCHAR, ''))), 1, 14))::BIT::BIGINT AS h
+  FROM documents
+)
+GROUP BY group_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2210,6 +2266,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "inverted_index": q_inverted_index,
     "index_search": q_index_search,
     "table_digest": q_table_digest,
+    "grouped_state_digest": q_grouped_state_digest,
 }
 
 ORACLES: dict[str, str] = {
@@ -2271,6 +2328,7 @@ ORACLES: dict[str, str] = {
     "inverted_index": SQL_INVERTED_INDEX,
     "index_search": SQL_INDEX_SEARCH,
     "table_digest": SQL_TABLE_DIGEST,
+    "grouped_state_digest": SQL_GROUPED_STATE_DIGEST,
 }
 
 # relational-completeness family (round 4 widening): interval/range join,
