@@ -55,16 +55,15 @@ def bucket_digests(sink, version: int | None = None) -> DataFrame:
 
     Returns ``(bucket int, n_rows bigint, digest_xor bigint,
     digest_sum string)`` — one row per non-empty bucket.  The digest
-    projection is every schema column plus the (ordinal, deleted,
-    content_sha) bookkeeping, in schema order: two buckets digest-equal
-    ⇒ their full replicated state (LWW ordinals and retained tombstones
-    included) is row-for-row identical with overwhelming probability.
+    projection is EVERY stored column (payload, LWW bookkeeping and the
+    derived extraction fields alike): two buckets digest-equal ⇒ their
+    full replicated state (ordinals and retained tombstones included) is
+    row-for-row identical with overwhelming probability.
     """
     from jurisprudencia_privada_etl_spark.plans.sink import BUCKET_COLUMN
 
-    m = sink.manifest(version)
-    cols = [c.name for c in m.schema.columns] + ["ordinal", "deleted", "content_sha"]
     live = sink.load(include_tombstones=True, version=version)
+    cols = [c for c in live.columns if c != BUCKET_COLUMN]
     h56 = F.conv(F.substring(row_digest(*cols), 1, 14), 16, 10).cast("long")
     return (
         live.select(F.col(BUCKET_COLUMN).cast("int").alias("bucket"), h56.alias("h"))

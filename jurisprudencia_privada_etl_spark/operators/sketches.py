@@ -29,7 +29,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["kmv_hash_sha2", "kmv_hash_poly", "kmv_distinct", "kmv_sketch", "kmv_union_estimate"]
+__all__ = [
+    "kmv_hash_sha2",
+    "kmv_hash_poly",
+    "kmv_distinct",
+    "kmv_sketch",
+    "kmv_union_estimate",
+    "quantile_sketch",
+    "quantile_estimate",
+    "quantile_union",
+]
 
 #: domain of kmv_hash_sha2 — 13 hex digits = 2^52, exact in a long AND a double
 SHA2_DOMAIN = 16**13
@@ -138,3 +147,90 @@ def kmv_union_estimate(
         .otherwise(F.expr(f"cast({(k - 1) * domain} as bigint) div element_at(_m, -1)"))
         .alias("distinct_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch — deterministic bottom-k-by-hash row sample.
+#
+# The quantile companion to KMV, built on the same exactness-of-bottom-k
+# property: the k rows with the smallest hash(key) form a uniform random
+# sample of the group (the hash is the randomness, so it is deterministic
+# and engine-portable), and the bottom-k of a UNION is computable from the
+# two bottom-k sets alone — which is what makes the sketch mergeable
+# across partitions / days / tables without touching raw rows again.
+# Quantile estimates are rank selections over the sample's values: exact
+# when the group has <= k rows, ~O(1/sqrt(k)) error otherwise, and always
+# an actually-occurring value (percentile_disc semantics — no
+# interpolation arithmetic to drift across engines).
+# Unlike t-digest / KLL (Dunning 2019, Karnin et al. 2016 — the
+# variance-optimal upgrades on a real cluster), every number here is
+# reproducible bit-for-bit by ANY ANSI engine, so estimates can be
+# oracle-checked and regression-pinned (queries.py `sketch_quantiles`).
+
+
+def quantile_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    hash_col: Column,
+    k: int = 256,
+) -> DataFrame:
+    """Per-group quantile sketch: ``qsk`` = the (hash, value) pairs of the
+    k minimum-hash rows, sorted by hash, plus ``n_sample``.
+
+    ``hash_col`` must hash a ROW-UNIQUE key (e.g. ``kmv_hash_sha2
+    (F.col("event_id"))``) — hashing the value itself would collapse
+    duplicates and bias the sample.  Deterministic under hash collisions:
+    rank order is (hash, value).
+    """
+    s = df.select(
+        *group_cols, hash_col.alias("h"), F.col(value_col).alias("v")
+    )
+    w = Window.partitionBy(*group_cols).orderBy(F.col("h").asc(), F.col("v").asc())
+    topk = s.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+    return topk.groupBy(*group_cols).agg(
+        F.count("*").alias("n_sample"),
+        F.sort_array(F.collect_list(F.struct("h", "v"))).alias("qsk"),
+    )
+
+
+def quantile_estimate(sketch: DataFrame, on: list[str], qs: list[float]) -> DataFrame:
+    """Rank-select each requested quantile from the sketch sample: the
+    value at ``row_number == max(1, ceil(q * n_sample))`` ordered by
+    (value, hash).  Returns one row per (group, q): ``(…on, q, value)``."""
+    e = sketch.select(
+        *on, F.col("n_sample").alias("_n"), F.explode("qsk").alias("_e")
+    ).select(*on, "_n", F.col("_e.h").alias("_h"), F.col("_e.v").alias("_v"))
+    w = Window.partitionBy(*on).orderBy(F.col("_v").asc(), F.col("_h").asc())
+    ranked = e.withColumn("_rn", F.row_number().over(w))
+    qcol = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    return (
+        ranked.select(*on, "_n", "_rn", "_v", qcol)
+        .where(F.col("_rn") == F.greatest(F.lit(1), F.ceil(F.col("q") * F.col("_n"))))
+        .select(*on, "q", F.col("_v").alias("value"))
+    )
+
+
+def quantile_union(a: DataFrame, b: DataFrame, on: list[str], k: int) -> DataFrame:
+    """Merge two quantile sketches without raw rows: full-outer join on the
+    group key, concat the (hash, value) arrays, re-sort by hash, re-cap at
+    k — exactly the bottom-k of the union, so the merged sketch equals the
+    sketch that a single pass over the concatenated data would have built
+    (property-tested).  ``n_sample`` is recomputed from the merged array."""
+    empty = F.array().cast(a.schema["qsk"].dataType.simpleString())
+    merged = (
+        a.withColumnsRenamed({"qsk": "_qa"})
+        .drop("n_sample")
+        .join(b.withColumnsRenamed({"qsk": "_qb"}).drop("n_sample"), on=on, how="full")
+        .withColumn(
+            "qsk",
+            F.slice(
+                F.array_sort(
+                    F.concat(F.coalesce("_qa", empty), F.coalesce("_qb", empty))
+                ),
+                1,
+                k,
+            ),
+        )
+    )
+    return merged.select(*on, F.size("qsk").alias("n_sample"), "qsk")

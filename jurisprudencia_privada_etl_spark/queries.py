@@ -1892,6 +1892,55 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.join(exact, "l_returnflag")
 
 
+def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (operators/sketches.quantile_sketch): per
+    event type, p50/p90/p99 of `value` rank-selected from the 64
+    minimum-hash rows — a deterministic uniform sample whose bottom-k sets
+    merge exactly, so per-day/per-partition sketches roll up without
+    re-reading raw rows.  Hash + rank arithmetic is engine-portable; the
+    DuckDB oracle reproduces every selected value bit-for-bit."""
+    from jurisprudencia_privada_etl_spark.operators.sketches import (
+        kmv_hash_poly,
+        quantile_estimate,
+        quantile_sketch,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    sk = quantile_sketch(
+        e, ["event_type"], "value", kmv_hash_poly(F.col("event_id")), k=64
+    )
+    return quantile_estimate(sk, ["event_type"], [0.5, 0.9, 0.99])
+
+
+# the oracle replays the same construction: bottom-64 rows by the
+# multiplicative hash (ties (h, v)), then value-rank selection at
+# ceil(q * n) — q forced to DOUBLE so both engines run the identical IEEE
+# product (a DECIMAL q would ceil differently when q*n lands on an integer)
+SQL_SKETCH_QUANTILES = """
+WITH s AS (
+    SELECT event_type, value AS v,
+           (event_id * 1000003) % 4294967296 AS h,
+           row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY (event_id * 1000003) % 4294967296 ASC, value ASC
+           ) AS rn
+    FROM events
+),
+k AS (SELECT event_type, h, v FROM s WHERE rn <= 64),
+n AS (SELECT event_type, count(*) AS ns FROM k GROUP BY event_type),
+r AS (
+    SELECT k.event_type, v, h, n.ns,
+           row_number() OVER (
+               PARTITION BY k.event_type ORDER BY v ASC, h ASC
+           ) AS vr
+    FROM k JOIN n USING (event_type)
+)
+SELECT event_type, CAST(q AS DOUBLE) AS q, v AS value
+FROM r, (VALUES (0.5), (0.9), (0.99)) AS qs(q)
+WHERE vr = greatest(1, CAST(ceil(CAST(q AS DOUBLE) * ns) AS BIGINT))
+"""
+
+
 SQL_KMV_DISTINCT = """
 WITH h AS (
     SELECT DISTINCT l_returnflag, (l_partkey * 1000003) % 4294967296 AS hh FROM lineitem
@@ -2257,6 +2306,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "session_attribution": q_session_attribution,
     "kmv_distinct": q_kmv_distinct,
+    "sketch_quantiles": q_sketch_quantiles,
     "dedup_clusters": q_dedup_clusters,
     "pack_sequences": q_pack_sequences,
     # incremental materialized-view maintenance (round 4):
@@ -2321,6 +2371,7 @@ ORACLES: dict[str, str] = {
     "sessionize": SQL_SESSIONIZE,
     "session_attribution": SQL_SESSION_ATTRIBUTION,
     "kmv_distinct": SQL_KMV_DISTINCT,
+    "sketch_quantiles": SQL_SKETCH_QUANTILES,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "mview_incremental": SQL_MVIEW_INCREMENTAL,

@@ -228,6 +228,15 @@ def _render(n_events: int, pair_rounds: list) -> str:
 
 
 def main() -> None:
+    if "--render-only" in sys.argv:
+        with open(ROUNDS_JSON) as f:
+            prev = json.load(f)
+        md = os.path.join(REPO, "BENCH", "cluster_scaling.md")
+        with open(md, "w") as f:
+            f.write(_render(prev["n_events"], prev["pair_rounds"]))
+        print(f"wrote {md}")
+        return
+
     n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 32_000_000
     rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 2

@@ -120,6 +120,15 @@ def main() -> None:
     ap.add_argument("--generate", type=int, default=0, help="generate N synthetic events first (testing)")
     ap.add_argument("--default-year", type=int, default=2026)
     ap.add_argument(
+        "--repair-from", metavar="PRIMARY_TABLE",
+        help="anti-entropy: compare per-bucket digests against PRIMARY_TABLE "
+             "and rewrite only the divergent buckets of --table with the "
+             "primary's rows verbatim, then exit (add --dry-run to report "
+             "divergence without writing)",
+    )
+    ap.add_argument("--dry-run", action="store_true",
+                    help="with --repair-from: detect + report only")
+    ap.add_argument(
         "--audit-max-delete-fraction", type=float, metavar="F",
         help="write-audit-publish gate: stage each epoch and abort the replay "
              "if deletes exceed F of the epoch's applied events (a runaway- "
@@ -218,6 +227,15 @@ def main() -> None:
             cfg=cfg,
         )
         print(json.dumps(out))
+        return
+
+    if args.repair_from is not None:
+        from jurisprudencia_privada_etl_spark.operators.antientropy import repair_replica
+
+        primary = HadoopParquetSink(spark, args.repair_from, n_buckets=args.n_buckets)
+        replica = HadoopParquetSink(spark, args.table, n_buckets=args.n_buckets)
+        print(json.dumps({"repair": repair_replica(primary, replica,
+                                                   dry_run=args.dry_run)}))
         return
 
     maintenance = (

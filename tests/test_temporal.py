@@ -300,3 +300,78 @@ def test_kmv_distinct_poly_domain_exact_cross_engine(spark):
     hs = sorted((i * 1_000_003) % POLY_DOMAIN for i in set(ids))[:k]
     assert out["kth_hash"] == hs[-1]
     assert out["distinct_est"] == (k - 1) * POLY_DOMAIN // hs[-1]
+
+
+# -- quantile sketch (bottom-k-by-hash uniform sample) -----------------------
+
+
+def test_quantile_sketch_exact_below_k(spark):
+    """With the whole group inside the sample, estimates ARE percentile_disc."""
+    from jurisprudencia_privada_etl_spark.operators.sketches import (
+        quantile_estimate,
+        quantile_sketch,
+    )
+
+    df = spark.range(100).select(
+        F.lit("g").alias("g"), F.col("id"), (F.col("id") * 2).cast("double").alias("v")
+    )
+    sk = quantile_sketch(df, ["g"], "v", kmv_hash_sha2(F.col("id")), k=256)
+    got = {
+        r["q"]: r["value"]
+        for r in quantile_estimate(sk, ["g"], [0.5, 0.9, 0.99]).collect()
+    }
+    # rank ceil(q*100) of values 0,2,...,198 -> value 2*(ceil(q*100)-1)
+    assert got == {0.5: 98.0, 0.9: 178.0, 0.99: 196.0}
+
+
+def test_quantile_sketch_merge_equals_single_pass(spark):
+    """Bottom-k exactness: union of two sketches == sketch of the union."""
+    from jurisprudencia_privada_etl_spark.operators.sketches import (
+        quantile_sketch,
+        quantile_union,
+    )
+
+    base = spark.range(5000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.col("id"),
+        F.pmod(F.col("id") * 37, F.lit(1000)).cast("double").alias("v"),
+    )
+    h = kmv_hash_sha2(F.col("id"))
+    a, b = base.where("id % 2 = 0"), base.where("id % 2 = 1")
+    merged = quantile_union(
+        quantile_sketch(a, ["g"], "v", h, k=64),
+        quantile_sketch(b, ["g"], "v", h, k=64),
+        ["g"],
+        k=64,
+    )
+    single = quantile_sketch(base, ["g"], "v", h, k=64)
+    ms = {r["g"]: (r["n_sample"], r["qsk"]) for r in merged.collect()}
+    ss = {r["g"]: (r["n_sample"], r["qsk"]) for r in single.collect()}
+    assert ms == ss
+
+
+def test_quantile_sketch_estimate_near_truth_and_partition_independent(spark):
+    from jurisprudencia_privada_etl_spark.operators.sketches import (
+        quantile_estimate,
+        quantile_sketch,
+    )
+
+    df = spark.range(20000).select(
+        F.lit("g").alias("g"), F.col("id"), F.col("id").cast("double").alias("v")
+    )
+    h = kmv_hash_sha2(F.col("id"))
+    est = {
+        r["q"]: r["value"]
+        for r in quantile_estimate(
+            quantile_sketch(df, ["g"], "v", h, k=1024), ["g"], [0.5, 0.9]
+        ).collect()
+    }
+    # uniform 0..19999: p50 ~ 10000, p90 ~ 18000; k=1024 -> ~3% standard error
+    assert abs(est[0.5] - 10000) < 1500 and abs(est[0.9] - 18000) < 1500
+    est13 = {
+        r["q"]: r["value"]
+        for r in quantile_estimate(
+            quantile_sketch(df.repartition(13), ["g"], "v", h, k=1024), ["g"], [0.5, 0.9]
+        ).collect()
+    }
+    assert est13 == est
