@@ -188,22 +188,62 @@ def _render(n_events: int, pair_rounds: list) -> str:
         "| round | 1 exec × 8 cores | 4 execs × 8 cores | N→4N efficiency | brackets 1x8 (M/s) | brackets 4x8 (M/s) |",
         "|---|---|---|---|---|---|",
     ]
+    # cross-round minima per level: under the one-sided-contamination model
+    # (neighbor steal / hypervisor drift can only SLOW a window, never speed
+    # it; the config is identical across rounds) these approach the clean-
+    # host level times from above, so they support a composite bound and
+    # direction-aware per-round annotations.
+    min1 = min(min(p["1"]["full_sec"]) for p in pair_rounds)
+    min4 = min(min(p["4"]["full_sec"]) for p in pair_rounds)
     effs = []
     for i, pair in enumerate(pair_rounds):
         b1, b4 = min(pair["1"]["full_sec"]), min(pair["4"]["full_sec"])
         eff = b1 / (4 * b4)
         effs.append(eff)
+        slow1, slow4 = b1 > 1.4 * min1, b4 > 1.4 * min4
+        note = (
+            " (both windows degraded)" if slow1 and slow4
+            else " (1×8 window degraded → ratio OVERSTATED)" if slow1
+            else " (4×8 window degraded → ratio understated)" if slow4
+            else ""
+        )
         c1 = "/".join(f"{c / 1e6:.0f}" for c in pair["1"]["calib_iters_per_sec"])
         c4 = "/".join(f"{c / 1e6:.0f}" for c in pair["4"]["calib_iters_per_sec"])
         lines.append(
             f"| {i} | {b1:.1f}s ({n_events / b1:,.0f} ev/s) "
-            f"| {b4:.1f}s ({n_events / b4:,.0f} ev/s) | **{eff:.2f}** | {c1} | {c4} |"
+            f"| {b4:.1f}s ({n_events / b4:,.0f} ev/s) | **{eff:.2f}**{note} | {c1} | {c4} |"
         )
     effs.sort()
     med = effs[len(effs) // 2] if len(effs) % 2 else (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2
+    composite = min1 / (4 * min4)
+    # the most defensible same-round number: best efficiency among rounds
+    # whose 1×8 numerator is near the cross-round clean estimate (a slow
+    # numerator is the only way contamination INFLATES the ratio, so these
+    # rounds cannot overstate; their 4×8 side can only be slow → each such
+    # round's ratio is a LOWER BOUND on the true one)
+    clean_num = []
+    for p in pair_rounds:
+        b1, b4 = min(p["1"]["full_sec"]), min(p["4"]["full_sec"])
+        if b1 <= 1.15 * min1:
+            clean_num.append(b1 / (4 * b4))
     lines += [
         "",
-        f"Median N→4N executor-level efficiency: **{med:.2f}** across {len(effs)} round(s).",
+        f"Median N→4N executor-level efficiency: **{med:.2f}** across {len(effs)} round(s)",
+        "(medians here mix windows the brackets prove were stolen at very",
+        "different depths — see the annotations; the per-round and composite",
+        "views below are the physically meaningful reads).",
+        "",
+        f"Cross-round composite (one-sided-noise clean estimate): best 1×8 =",
+        f"{min1:.1f}s, best 4×8 = {min4:.1f}s → efficiency **{composite:.2f}**.",
+        "Contamination only ever slows a window, so each level's cross-round",
+        "minimum approaches its clean-host time from above; their ratio is",
+        "the steady-state efficiency estimate this shared host supports."
+        + (
+            f"  Lower-bound check: every clean-numerator round (1×8 within 15%"
+            f" of the minimum) bounds the true ratio from BELOW; the best such"
+            f" bound measured is **{max(clean_num):.2f}**."
+            if clean_num else ""
+        ),
         "",
         "Raw replicates:",
         "",
