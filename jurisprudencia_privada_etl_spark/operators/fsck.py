@@ -130,6 +130,10 @@ def fsck(sink, digest_columns: list[str] | None = None) -> dict[str, Any]:
     for entry in m.buckets.values():
         refs.append(entry["path"])
         refs.extend(d["path"] for d in entry.get("deltas") or [])
+        # position-delete sets are referenced files too: a missing DV dir
+        # silently resurrects its deleted rows, so audit their existence
+        # and footers exactly like data refs
+        refs.extend(d["path"] for d in entry.get("dvs") or [])
     for rel in refs:
         d = os.path.join(sink.table_path, rel)
         if not os.path.isdir(d):

@@ -314,6 +314,7 @@ class HadoopParquetSink:
         version: int | None = None,
         columns: list[str] | None = None,
         manifest: "mf.Manifest | None" = None,
+        _with_positions: bool = False,
     ) -> DataFrame:
         """Snapshot read, aligned to the snapshot's schema.
 
@@ -362,6 +363,21 @@ class HadoopParquetSink:
         if not wanted:
             return self._empty(cur, keep, keep_bk)
 
+        # position-delete sets (dv_delete): tiny (file, pos) parquet sets
+        # stacked on buckets without rewriting them (Iceberg v2 position
+        # deletes / Delta deletion vectors).  Grouped per delete ordinal and
+        # applied below by marking matched PHYSICAL rows as payload-free
+        # tombstones at that ordinal BEFORE any MoR delta resolution — the
+        # existing LWW window then orders the DV tombstone against delta
+        # rows by ordinal, so both write modes compose with no new logic.
+        dv_groups: dict[int, list[str]] = {}
+        for entry in wanted.values():
+            for d in entry.get("dvs") or []:
+                dv_groups.setdefault(int(d["ordinal"]), []).append(
+                    os.path.join(self.table_path, d["path"])
+                )
+        want_pos = _with_positions or bool(dv_groups)
+
         # read units: (relative dir, writing manifest version).  The writing
         # version doubles as the schema version for column-id mapping and as
         # the arrival sequence for delta resolution.
@@ -407,6 +423,11 @@ class HadoopParquetSink:
                         cols.append(F.lit(None).cast(c.dtype).alias(c.name))
                 cols += [F.col(n) for n, _ in keep_bk]
                 cols.append(F.col(BUCKET_COLUMN).cast("int"))
+                if want_pos:
+                    # physical row identity for position deletes: the file
+                    # source's constant-folded metadata struct, free to read
+                    cols.append(F.col("_metadata.file_path").alias("_dv_file"))
+                    cols.append(F.col("_metadata.row_index").alias("_dv_pos"))
                 if with_seq:
                     cols.append(F.lit(sv).alias("_seq"))
                 parts.append(df.select(*cols))
@@ -415,9 +436,53 @@ class HadoopParquetSink:
                 out = out.unionByName(p)
             return out
 
+        def _apply_dvs(df: DataFrame) -> DataFrame:
+            if not dv_groups:
+                return df
+            prefix = "file:" + os.path.abspath(self.table_path) + "/"
+            dvs: DataFrame | None = None
+            for o, dirs in sorted(dv_groups.items()):
+                part = self.spark.read.parquet(*sorted(set(dirs))).select(
+                    F.concat(F.lit(prefix), F.col("file")).alias("_dv_file"),
+                    F.col("pos").alias("_dv_pos"),
+                    F.lit(o).cast("long").alias("_dv_ordinal"),
+                )
+                dvs = part if dvs is None else dvs.unionByName(part)
+            # a live position can only be deleted once (it reads as a
+            # tombstone afterwards), but be defensive: newest delete wins
+            dvs = dvs.groupBy("_dv_file", "_dv_pos").agg(
+                F.max("_dv_ordinal").alias("_dv_ordinal")
+            )
+            hit = F.col("_dv_ordinal").isNotNull()
+            keep_as_is = {*KEY_COLUMNS, BUCKET_COLUMN, "_seq", "_dv_file", "_dv_pos"}
+            out_cols = []
+            for name in df.columns:
+                if name in keep_as_is:
+                    out_cols.append(F.col(name))
+                elif name == "ordinal":
+                    out_cols.append(
+                        F.when(hit, F.col("_dv_ordinal")).otherwise(F.col(name)).alias(name)
+                    )
+                elif name == "deleted":
+                    out_cols.append(
+                        F.when(hit, F.lit(True)).otherwise(F.col(name)).alias(name)
+                    )
+                else:
+                    # position-deleted rows read as payload-free tombstones
+                    # (delete_where parity); the superseded physical bytes
+                    # linger in the base file until compact()/vacuum() folds
+                    # the DV — same trade as Iceberg v2 deletes
+                    out_cols.append(
+                        F.when(hit, F.lit(None)).otherwise(F.col(name)).alias(name)
+                    )
+            # DV sets are KBs against TBs of data: always broadcast
+            return df.join(
+                F.broadcast(dvs), ["_dv_file", "_dv_pos"], "left"
+            ).select(*out_cols)
+
         parts: list[DataFrame] = []
         if plain_units:
-            parts.append(read_units(plain_units, with_seq=False))
+            parts.append(_apply_dvs(read_units(plain_units, with_seq=False)))
         if delta_units:
             from pyspark.sql import Window
 
@@ -425,7 +490,7 @@ class HadoopParquetSink:
                 F.col("ordinal").desc(), F.col("_seq").asc()
             )
             parts.append(
-                read_units(delta_units, with_seq=True)
+                _apply_dvs(read_units(delta_units, with_seq=True))
                 .withColumn("_rn", F.row_number().over(w))
                 .where(F.col("_rn") == 1)
                 .drop("_rn", "_seq")
@@ -435,6 +500,8 @@ class HadoopParquetSink:
             out = out.unionByName(p)
         if not include_tombstones:
             out = out.where(~F.coalesce(F.col("deleted"), F.lit(False)))
+        if want_pos and not _with_positions:
+            out = out.drop("_dv_file", "_dv_pos")
         return out
 
     # -- MERGE (J5/S9/S10, T3/T4/T5) ------------------------------------------
@@ -1253,6 +1320,107 @@ class HadoopParquetSink:
         )
         return {"purged_rows": n_hit, "purged_buckets": len(affected)}
 
+    def dv_delete(self, predicate, ordinal: int) -> dict:
+        """Row-level delete via position-delete files — the Iceberg v2
+        position-delete / Delta deletion-vector analog, and the cheap
+        counterpart to ``delete_where``.
+
+        Every LIVE row matching ``predicate`` is recorded in a tiny
+        (file, pos) parquet set — the physical row's file path and
+        row index — stacked onto its bucket's manifest entry.  NO data
+        file is rewritten: deleting 1,000 rows from a 100 TB table writes
+        kilobytes, where ``delete_where`` rewrites every matched bucket.
+        ``load`` marks the positions as payload-free tombstones at
+        ``ordinal`` before any MoR resolution, so the delete composes with
+        delta stacks, the LWW merge guard (a stale pre-delete event
+        replaying later loses to the DV tombstone), change feeds (the
+        delete surfaces as an ordinary tombstone diff), and replication.
+
+        ``ordinal`` must exceed the changelog head — same resurrection
+        contract as every tombstone (``delete_where`` docstring).
+
+        What this does NOT give you: physical erasure.  The deleted rows'
+        bytes stay in their base files until ``compact()`` (folds DVs into
+        a clean rewrite) or ``vacuum()`` (once the tombstones pass the
+        horizon) rewrites the bucket — so right-to-be-forgotten purges
+        should use ``delete_where``, which nulls the bytes in the same
+        commit.  Readers pay one broadcast hash join against the DV set
+        per scan until then.
+
+        Idempotent: a re-run matches no live rows (they read as tombstones
+        now) and publishes nothing.
+        """
+        import shutil
+
+        m = self.manifest()
+        if not m.buckets:
+            return {"dv_rows": 0, "dv_buckets": 0}
+        new_version = m.version + 1
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        prefix = "file:" + os.path.abspath(self.table_path) + "/"
+        matched = (
+            self.load(_with_positions=True)
+            .where(pred)
+            .select(
+                F.col(BUCKET_COLUMN),
+                F.expr(f"substring(_dv_file, {len(prefix) + 1})").alias("file"),
+                F.col("_dv_pos").alias("pos"),
+            )
+        )
+        data_rel, data_dir = self._new_data_dir(new_version)
+        (
+            matched.repartition(1)
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COLUMN)
+            .parquet(data_dir)
+        )
+        live = sorted(
+            int(name.split("=", 1)[1])
+            for name in os.listdir(data_dir)
+            if name.startswith(f"{BUCKET_COLUMN}=")
+        )
+        if not live:
+            shutil.rmtree(data_dir, ignore_errors=True)
+            return {"dv_rows": 0, "dv_buckets": 0}
+        counts = {
+            int(r[BUCKET_COLUMN]): int(r["n"])
+            for r in self.spark.read.option("basePath", data_dir)
+            .parquet(data_dir)
+            .groupBy(BUCKET_COLUMN)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        buckets = dict(m.buckets)
+        for b in live:
+            entry = dict(buckets[str(b)])
+            entry["dvs"] = list(entry.get("dvs") or []) + [
+                {
+                    "path": os.path.join(data_rel, f"{BUCKET_COLUMN}={b}"),
+                    "schema_version": new_version,
+                    "ordinal": ordinal,
+                    "rows": counts.get(b, 0),
+                }
+            ]
+            buckets[str(b)] = entry
+        n_rows = sum(counts.values())
+        mf.publish(
+            self.table_path,
+            mf.Manifest(
+                version=new_version,
+                last_committed_epoch=m.last_committed_epoch,
+                schema=m.schema,
+                buckets=buckets,
+                n_buckets=m.n_buckets,
+                metrics={
+                    "dv_delete_ordinal": ordinal,
+                    "dv_rows": n_rows,
+                    "buckets": len(live),
+                },
+                parent_version=m.version,
+            ),
+        )
+        return {"dv_rows": n_rows, "dv_buckets": len(live)}
+
     def load_at_epoch(self, epoch: int) -> DataFrame:
         """State as of a committed epoch — the epoch-keyed face of time
         travel.  Resolves to the NEWEST retained manifest version whose
@@ -1529,7 +1697,7 @@ class HadoopParquetSink:
             # even when the file count is already at target.
             if (
                 zorder
-                or (fold_deltas and entry.get("deltas"))
+                or (fold_deltas and (entry.get("deltas") or entry.get("dvs")))
                 or n_files > max(min_files, target_files_per_bucket)
             ):
                 affected.append(int(b))
@@ -1647,6 +1815,8 @@ class HadoopParquetSink:
                 for d in entry.get("deltas") or []:  # merge-on-read delta refs
                     retained.add(d["schema_version"])
                     referenced_paths.add(os.path.normpath(d["path"]))
+                for d in entry.get("dvs") or []:  # position-delete sets
+                    referenced_paths.add(os.path.normpath(d["path"]))
         # branch refs are live data in shared storage, whatever main retains
         referenced_paths |= self._branch_referenced_paths()
         expired = [v for v in versions if v not in retained]
@@ -1745,7 +1915,7 @@ class HadoopParquetSink:
         staged_vdirs: set[str] = set()
         for m in manifests + ([staged] if staged else []):
             for entry in m.buckets.values():
-                for ref in (entry, *(entry.get("deltas") or [])):
+                for ref in (entry, *(entry.get("deltas") or []), *(entry.get("dvs") or [])):
                     referenced.add(os.path.normpath(ref["path"]))
                     if m is staged:
                         parts = os.path.normpath(ref["path"]).split(os.sep)
@@ -1851,7 +2021,7 @@ class HadoopParquetSink:
                 if m is None:
                     continue
                 for entry in m.buckets.values():
-                    for ref in (entry, *(entry.get("deltas") or [])):
+                    for ref in (entry, *(entry.get("deltas") or []), *(entry.get("dvs") or [])):
                         out.add(os.path.normpath(ref["path"]))
         return out
 
