@@ -2246,6 +2246,52 @@ GROUP BY group_id
 """
 
 
+def q_merge_into_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic three-branch MERGE INTO (operators/merge_into.py) on the
+    documents table: conditional matched-delete before update-all,
+    conditional insert, and a not-matched-by-source delete — the full
+    Delta/Iceberg MERGE surface in one full-outer-join pass."""
+    from jurisprudencia_privada_etl_spark.operators.merge_into import merge_into
+
+    d = _t(spark, sf_dir, "documents")
+    tgt = d.where("doc_id % 4 != 0").select("doc_id", "lang", "source", "n_chars")
+    src = d.where("doc_id % 2 = 0").select(
+        "doc_id",
+        F.upper("lang").alias("lang"),
+        "source",
+        (F.col("n_chars") + 1000).alias("n_chars"),
+    )
+    return merge_into(
+        tgt,
+        src,
+        on=["doc_id"],
+        when_matched_update="all",
+        when_matched_delete="s.n_chars % 7 = 0",
+        when_not_matched_insert="all",
+        when_not_matched_insert_condition="s.n_chars % 3 != 0",
+        when_not_matched_by_source_delete="t.doc_id % 9 = 0",
+    )
+
+
+SQL_MERGE_INTO_FULL = """
+WITH tgt AS (
+  SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id % 4 != 0
+), src AS (
+  SELECT doc_id, upper(lang) AS lang, source, n_chars + 1000 AS n_chars
+  FROM documents WHERE doc_id % 2 = 0
+)
+SELECT s.doc_id AS doc_id, s.lang AS lang, s.source AS source, s.n_chars AS n_chars
+FROM tgt t JOIN src s ON t.doc_id = s.doc_id
+WHERE s.n_chars % 7 != 0
+UNION ALL
+SELECT s.doc_id, s.lang, s.source, s.n_chars FROM src s
+WHERE s.doc_id NOT IN (SELECT doc_id FROM tgt) AND s.n_chars % 3 != 0
+UNION ALL
+SELECT t.doc_id, t.lang, t.source, t.n_chars FROM tgt t
+WHERE t.doc_id NOT IN (SELECT doc_id FROM src) AND t.doc_id % 9 != 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2317,6 +2363,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "index_search": q_index_search,
     "table_digest": q_table_digest,
     "grouped_state_digest": q_grouped_state_digest,
+    # generic three-branch MERGE INTO (round 4):
+    "merge_into_full": q_merge_into_full,
 }
 
 ORACLES: dict[str, str] = {
@@ -2380,6 +2428,7 @@ ORACLES: dict[str, str] = {
     "index_search": SQL_INDEX_SEARCH,
     "table_digest": SQL_TABLE_DIGEST,
     "grouped_state_digest": SQL_GROUPED_STATE_DIGEST,
+    "merge_into_full": SQL_MERGE_INTO_FULL,
 }
 
 # relational-completeness family (round 4 widening): interval/range join,
