@@ -54,6 +54,12 @@ class ReplayConfig:
     # sub-partitioning, still one exchange) — raises write parallelism and
     # evens the balls-into-bins task skew; see HadoopParquetSink.__init__
     files_per_bucket: int = 1
+    # adaptive per-bucket file sizing (Delta optimized-write analog): when
+    # set, the "window" merge sizes each touched bucket's sub-split so
+    # output files land near this many bytes — hot Zipf buckets fan wider
+    # than cold ones; supersedes files_per_bucket.  Driver-side sizing only
+    # (dir stat + lineage bytes); see HadoopParquetSink._adaptive_sub_splits.
+    target_file_bytes: int | None = None
     default_year: int = 2026  # epoch-supplied constant, never wall clock
     use_window_lww: bool = False  # row_number window vs max_by partial agg
     run_extraction: bool = True
@@ -279,6 +285,7 @@ def replay(
         spark, table_path, n_buckets=cfg.n_buckets,
         merge_strategy=cfg.merge_strategy, files_per_bucket=cfg.files_per_bucket,
         write_mode=cfg.write_mode, bloom_filter_ndv=cfg.bloom_filter_ndv,
+        target_file_bytes=cfg.target_file_bytes,
     )
     if not sink.exists():
         sink.create(TableSchema.from_struct(TARGET_SCHEMA))
@@ -365,6 +372,7 @@ def replay_dataframe(
         spark, table_path, n_buckets=cfg.n_buckets,
         merge_strategy=cfg.merge_strategy, files_per_bucket=cfg.files_per_bucket,
         write_mode=cfg.write_mode, bloom_filter_ndv=cfg.bloom_filter_ndv,
+        target_file_bytes=cfg.target_file_bytes,
     )
     if not sink.exists():
         sink.create(TableSchema.from_struct(TARGET_SCHEMA))

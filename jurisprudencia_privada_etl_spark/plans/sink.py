@@ -112,6 +112,8 @@ class HadoopParquetSink:
         files_per_bucket: int = 1,
         write_mode: str = "cow",  # "cow" (copy-on-write) | "mor" (merge-on-read deltas)
         bloom_filter_ndv: int | None = None,
+        target_file_bytes: int | None = None,
+        parquet_compression_ratio: float = 3.0,
     ):
         self.spark = spark
         self.table_path = table_path
@@ -153,6 +155,16 @@ class HadoopParquetSink:
         # Set to the expected keys per data file (rows_per_file is the right
         # order; parquet caps the bitset at parquet.bloom.filter.max.bytes).
         self.bloom_filter_ndv = bloom_filter_ndv
+        # Adaptive per-bucket file sizing (Delta optimized-write / Iceberg
+        # write.target-file-size analog): when set, the "window" merge sizes
+        # each touched bucket's sub-split count to ~target_file_bytes per
+        # output file from the bucket's CURRENT dir bytes (driver stat) plus
+        # the epoch's incoming share — hot Zipf buckets fan wider than cold
+        # ones inside the same single exchange, superseding the static
+        # files_per_bucket.  parquet_compression_ratio deflates the raw
+        # incoming byte estimate (content is text; ~3× is typical).
+        self.target_file_bytes = target_file_bytes
+        self.parquet_compression_ratio = parquet_compression_ratio
         # test hook: raise after data files are written but BEFORE the
         # manifest publish — the mid-epoch-restart fixture's kill point.
         self.crash_before_publish = False
@@ -694,7 +706,54 @@ class HadoopParquetSink:
             action.alias("_action"),
         )
 
-    def _merge_window(self, target: DataFrame, u: DataFrame, payload: list[str], n_parts: int) -> DataFrame:
+    def _dir_bytes(self, rel: str) -> int:
+        """Total bytes of one referenced data dir (driver-side stat walk —
+        metadata-proportional, no Spark job)."""
+        d = os.path.join(self.table_path, rel)
+        if not os.path.isdir(d):
+            return 0
+        return sum(
+            os.path.getsize(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    def _adaptive_sub_splits(
+        self, m: "mf.Manifest", touched: list[int], incoming_bytes: int
+    ) -> "dict[int, int] | None":
+        """Per-bucket file sub-split counts targeting ``target_file_bytes``
+        per output file — the Delta optimized-write / Iceberg
+        write.target-file-size analog, per bucket instead of global.
+
+        A static ``files_per_bucket`` is wrong at both ends of a Zipf key
+        distribution: hot buckets write files far over target (one task
+        carries the whole repo), cold buckets shatter into crumbs.  Sizing
+        is driver-side only: each touched bucket's CURRENT dir bytes
+        (``os.stat`` walk) plus an even share of the epoch's incoming bytes
+        (from lineage, already collected) deflated by an assumed parquet
+        compression ratio.  The estimate only steers file counts — a 2×
+        error means files at 2× or 0.5× target, never wrong data.
+        """
+        if not self.target_file_bytes or not touched:
+            return None
+        share = incoming_bytes / len(touched) / max(1.0, self.parquet_compression_ratio)
+        out: dict[int, int] = {}
+        for b in touched:
+            entry = m.buckets.get(str(b))
+            est = share + (self._dir_bytes(entry["path"]) if entry else 0)
+            f_b = min(512, max(1, -(-int(est) // self.target_file_bytes)))
+            if f_b > 1:
+                out[b] = f_b
+        return out or None
+
+    def _merge_window(
+        self,
+        target: DataFrame,
+        u: DataFrame,
+        payload: list[str],
+        n_parts: int,
+        sub_splits: "dict[int, int] | None" = None,
+    ) -> DataFrame:
         """MERGE via ONE bucket shuffle + per-key window over the bucket.
 
         union(target, events) is repartitioned by ``_bucket`` once; the
@@ -717,7 +776,32 @@ class HadoopParquetSink:
         f = self.files_per_bucket
         part_cols = [BUCKET_COLUMN]
         sub_cols: list[str] = []
-        if f > 1:
+        n_total = n_parts * f
+        if sub_splits:
+            # per-bucket adaptive sub-split (target_file_bytes): the split
+            # count rides a broadcast (bucket → n) lookup, so hot buckets
+            # fan wider than cold ones inside the SAME single exchange
+            nsub = self.spark.createDataFrame(
+                [(int(b), int(v)) for b, v in sorted(sub_splits.items())],
+                f"{BUCKET_COLUMN} int, _nsub int",
+            )
+            both = (
+                both.join(F.broadcast(nsub), BUCKET_COLUMN, "left")
+                .withColumn(
+                    "_sub",
+                    F.when(F.col("_nsub").isNull(), F.lit(0)).otherwise(
+                        F.pmod(
+                            F.xxhash64(F.lit(7), *[F.col(k) for k in KEY_COLUMNS]),
+                            F.col("_nsub"),
+                        )
+                    ),
+                )
+                .drop("_nsub")
+            )
+            part_cols = [BUCKET_COLUMN, "_sub"]
+            sub_cols = ["_sub"]
+            n_total = n_parts + sum(v - 1 for v in sub_splits.values())
+        elif f > 1:
             # sub-split key MUST come from a hash independent of bucket_of():
             # the bucket is xxhash64(key) % n_buckets, so xxhash64(key) % f
             # with f | n_buckets would be a constant per bucket (no split).
@@ -727,7 +811,7 @@ class HadoopParquetSink:
             )
             part_cols = [BUCKET_COLUMN, "_sub"]
             sub_cols = ["_sub"]
-        both = both.repartition(n_parts * f, *part_cols)
+        both = both.repartition(n_total, *part_cols)
 
         # Deterministic single winner per key: on an ordinal tie (malformed
         # changelog / external source without the uniqueness guarantee) the
@@ -834,7 +918,11 @@ class HadoopParquetSink:
         if self.merge_strategy == "join":
             merged = self._merge_join(target, u, payload)
         elif self.merge_strategy == "window":
-            merged = self._merge_window(target, u, payload, max(1, len(touched)))
+            incoming = sum(int(p.get("bytes") or 0) for p in (lineage or []))
+            merged = self._merge_window(
+                target, u, payload, max(1, len(touched)),
+                sub_splits=self._adaptive_sub_splits(m, touched, incoming),
+            )
         elif self.merge_strategy == "bucket_agg":
             merged = self._merge_bucket_agg(target, u, payload, max(1, len(touched)))
         else:
@@ -1649,6 +1737,7 @@ class HadoopParquetSink:
         min_files: int = 2,
         zorder: list[str] | None = None,
         fold_deltas: bool = True,
+        target_file_bytes: int | None = None,
     ) -> dict:
         """Small-file compaction (the Iceberg ``rewrite_data_files`` analog).
 
@@ -1680,6 +1769,11 @@ class HadoopParquetSink:
         """
         m = self.manifest()
         affected: list[int] = []
+        # ``target_file_bytes`` sizes each bucket's rewrite to ~that many
+        # bytes per output file from its CURRENT on-disk bytes (driver stat
+        # walk) — the Iceberg rewrite_data_files target-file-size-bytes
+        # option, per bucket.  It supersedes target_files_per_bucket.
+        want_n: dict[int, int] = {}
         for b, entry in m.buckets.items():
             dirs = [entry["path"], *(d["path"] for d in entry.get("deltas") or [])]
             n_files = sum(
@@ -1688,6 +1782,9 @@ class HadoopParquetSink:
                 for f in os.listdir(os.path.join(self.table_path, rel))
                 if f.startswith("part-") and f.endswith(".parquet")
             )
+            if target_file_bytes:
+                total = sum(self._dir_bytes(rel) for rel in dirs)
+                want_n[int(b)] = min(512, max(1, -(-total // target_file_bytes)))
             # merge-on-read buckets fold by default: compaction is what pays
             # down their read-side resolution window.  ``fold_deltas=False``
             # (the replay's auto-compact policy) defers them to the same
@@ -1698,7 +1795,11 @@ class HadoopParquetSink:
             if (
                 zorder
                 or (fold_deltas and (entry.get("deltas") or entry.get("dvs")))
-                or n_files > max(min_files, target_files_per_bucket)
+                or (
+                    n_files != want_n[int(b)]
+                    if target_file_bytes
+                    else n_files > max(min_files, target_files_per_bucket)
+                )
             ):
                 affected.append(int(b))
         if not affected:
@@ -1715,7 +1816,28 @@ class HadoopParquetSink:
             z_bits = 8
             keep, zc = zvalue(keep, zorder, bits=z_bits)
             z_span = 1 << (z_bits * len(zorder))
-        if target_files_per_bucket > 1:
+        adaptive = {b: want_n.get(b, 1) for b in affected} if target_file_bytes else None
+        if adaptive and any(v > 1 for v in adaptive.values()):
+            # per-bucket sub-split from the byte target: a broadcast
+            # (bucket → n) lookup, so over-target buckets fan wider than
+            # small ones inside the same rewrite exchange
+            n_parts = sum(adaptive.values())
+            nsub = self.spark.createDataFrame(
+                [(int(b), int(v)) for b, v in sorted(adaptive.items())],
+                f"{BUCKET_COLUMN} int, _nsub int",
+            )
+            keep = keep.join(F.broadcast(nsub), BUCKET_COLUMN, "left").withColumn(
+                "_nsub", F.coalesce(F.col("_nsub"), F.lit(1))
+            )
+            if zc is not None:
+                sub = F.least(
+                    F.col("_nsub") - 1,
+                    F.floor(F.col(zc) * F.col("_nsub") / F.lit(z_span)),
+                )
+            else:
+                sub = F.pmod(F.xxhash64(*KEY_COLUMNS, F.lit(-1)), F.col("_nsub"))
+            parted = keep.repartition(n_parts, F.col(BUCKET_COLUMN), sub).drop("_nsub")
+        elif target_files_per_bucket > 1:
             if zc is not None:
                 # contiguous z-ranges per file (not a hash): each file owns
                 # a Morton sub-cube, so its stats stay tight on every dim

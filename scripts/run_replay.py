@@ -61,6 +61,10 @@ def main() -> None:
     ap.add_argument("--zorder", metavar="COL[,COL...]",
                     help="with --compact: lay rewritten buckets out along the "
                          "Morton curve of these columns (OPTIMIZE ZORDER)")
+    ap.add_argument("--target-file-bytes", type=int, metavar="BYTES",
+                    help="adaptive per-bucket file sizing: size each bucket's "
+                    "merge (and --compact) output files to ~BYTES from its "
+                    "on-disk bytes; supersedes static files-per-bucket")
     ap.add_argument("--target-files-per-bucket", type=int, default=1,
                     help="with --compact: files per bucket after rewrite")
     ap.add_argument("--expire-snapshots", type=int, metavar="KEEP",
@@ -173,6 +177,7 @@ def main() -> None:
         ),
         audit_gate=audit_gate,
         auto_compact_files_per_bucket=args.auto_compact,
+        target_file_bytes=args.target_file_bytes,
     )
 
     if args.emit_feed is not None or args.consumer is not None:
@@ -264,6 +269,7 @@ def main() -> None:
                 target_files_per_bucket=args.target_files_per_bucket,
                 min_files=2,
                 zorder=args.zorder.split(",") if args.zorder else None,
+                target_file_bytes=args.target_file_bytes,
             )
         if args.rebucket is not None:
             out["rebucket"] = sink.rebucket(args.rebucket)

@@ -1,0 +1,120 @@
+"""Adaptive per-bucket file sizing (target_file_bytes) — the Delta
+optimized-write / Iceberg write.target-file-size analog: merge and compact
+size each bucket's output file count from its bytes instead of a global
+files_per_bucket, so hot Zipf buckets fan wider than cold ones."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from jurisprudencia_privada_etl_spark.operators.fsck import table_digest
+from jurisprudencia_privada_etl_spark.plans.replay import ReplayConfig, replay_dataframe
+from jurisprudencia_privada_etl_spark.sources.generator import synthetic_changelog
+
+COLS = ["repo", "path", "commit", "lang", "content", "ordinal", "content_sha"]
+
+
+def _log(spark, seed=401, n=4000):
+    return synthetic_changelog(
+        spark, n, seed=seed, n_epochs=2, n_repos=6, paths_per_repo=120,
+        skew=3.0, pct_update=0.35, pct_delete=0.1,
+    )
+
+
+def _digest(df):
+    return tuple(table_digest(df.select(*COLS), COLS).collect()[0])
+
+
+def _bucket_files(sink) -> dict[int, list[str]]:
+    out: dict[int, list[str]] = {}
+    for b, entry in sink.manifest().buckets.items():
+        d = os.path.join(sink.table_path, entry["path"])
+        out[int(b)] = sorted(
+            os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+        )
+    return out
+
+
+def test_adaptive_merge_splits_hot_buckets_with_state_parity(spark, tmp_path):
+    log = _log(spark)
+    base = replay_dataframe(
+        spark, log, str(tmp_path / "base"), ReplayConfig(n_buckets=8)
+    )
+    target = 16 * 1024
+    adaptive = replay_dataframe(
+        spark, log, str(tmp_path / "adaptive"),
+        ReplayConfig(n_buckets=8, target_file_bytes=target),
+    )
+    # identical logical state
+    assert _digest(base.load()) == _digest(adaptive.load())
+
+    files = _bucket_files(adaptive)
+    n_files = {b: len(fs) for b, fs in files.items()}
+    assert max(n_files.values()) > 1, "no bucket split — target too large for fixture"
+    # sizing holds: no file wildly over target (hash sub-split evens sizes)
+    biggest = max(
+        os.path.getsize(f) for fs in files.values() for f in fs
+    )
+    assert biggest < 4 * target
+    # proportionality: the byte-heaviest bucket gets at least as many files
+    # as the lightest
+    by_bytes = {
+        b: sum(os.path.getsize(f) for f in fs) for b, fs in files.items()
+    }
+    hot = max(by_bytes, key=by_bytes.get)
+    cold = min(by_bytes, key=by_bytes.get)
+    assert n_files[hot] >= n_files[cold]
+
+
+def test_adaptive_compact_rewrites_to_byte_target_both_directions(spark, tmp_path):
+    log = _log(spark, seed=409)
+    sink = replay_dataframe(
+        spark, log, str(tmp_path / "t"),
+        ReplayConfig(n_buckets=8, files_per_bucket=4),
+    )
+    before = _digest(sink.load(include_tombstones=True).drop("deleted"))
+    files = _bucket_files(sink)
+    assert max(len(fs) for fs in files.values()) > 1  # over-filed fixture
+
+    # large target → every bucket folds to a single file
+    r = sink.compact(target_file_bytes=512 * 1024 * 1024)
+    assert r["compacted_buckets"] > 0
+    files = _bucket_files(sink)
+    assert all(len(fs) == 1 for fs in files.values())
+    assert _digest(sink.load(include_tombstones=True).drop("deleted")) == before
+
+    # small target → buckets split back up, still byte-bounded
+    target = 8 * 1024
+    sink.compact(target_file_bytes=target)
+    files = _bucket_files(sink)
+    assert max(len(fs) for fs in files.values()) > 1
+    biggest = max(os.path.getsize(f) for fs in files.values() for f in fs)
+    assert biggest < 4 * target
+    assert _digest(sink.load(include_tombstones=True).drop("deleted")) == before
+
+    # idempotent at target: a re-run rewrites nothing once counts match
+    v = sink.manifest().version
+    r2 = sink.compact(target_file_bytes=target)
+    if r2["compacted_buckets"] == 0:
+        assert sink.manifest().version == v
+
+
+def test_adaptive_merge_exactly_once_restart(spark, tmp_path):
+    """The adaptive layout changes file placement only — the exactly-once
+    manifest contract is untouched by a crash between epochs."""
+    log = _log(spark, seed=419)
+    cfg = ReplayConfig(n_buckets=8, target_file_bytes=16 * 1024)
+    sink = replay_dataframe(
+        spark, log.where(F.col("epoch") == 0), str(tmp_path / "t"), cfg
+    )
+    v1 = sink.manifest().version
+    # re-running the same epoch is a no-op
+    replay_dataframe(spark, log.where(F.col("epoch") == 0), sink.table_path, cfg)
+    assert sink.manifest().version == v1
+    # the tail applies on top and matches a one-shot replay
+    replay_dataframe(spark, log.where(F.col("epoch") == 1), sink.table_path, cfg)
+    oneshot = replay_dataframe(spark, log, str(tmp_path / "oneshot"), cfg)
+    assert _digest(sink.load()) == _digest(oneshot.load())
