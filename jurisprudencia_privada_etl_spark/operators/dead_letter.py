@@ -82,12 +82,17 @@ def read_dead_letters(
     ``_src_epoch``.  ``epochs=None`` loads every unconsumed epoch."""
     eps = epochs if epochs is not None else dead_letter_epochs(table_path)
     root = _channel_dir(table_path)
-    dirs = [os.path.join(root, f"epoch={e}") for e in eps]
-    dirs = [d for d in dirs if os.path.isdir(d)]
-    if not dirs:
+    # pair BEFORE filtering missing dirs — a post-filter zip would shift
+    # every later epoch's _src_epoch label onto the wrong rows
+    pairs = [
+        (e, d)
+        for e in eps
+        if os.path.isdir(d := os.path.join(root, f"epoch={e}"))
+    ]
+    if not pairs:
         raise ValueError(f"no dead-letter epochs to read at {root} (epochs={epochs})")
     parts = []
-    for e, d in zip(eps, dirs):
+    for e, d in pairs:
         parts.append(spark.read.parquet(d).withColumn("_src_epoch", F.lit(e)))
     out = parts[0]
     for p in parts[1:]:

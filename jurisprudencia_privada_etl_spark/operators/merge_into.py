@@ -51,10 +51,14 @@ def _as_col(v: Any) -> Column:
 
 
 def _cond(v: Any, default: bool) -> Column:
-    """Normalize a clause condition: bool/None → literal, str → expr."""
+    """Normalize a clause condition: bool/None → literal, str → expr.
+
+    A condition that evaluates to SQL NULL is NOT satisfied (three-valued
+    logic): it must coalesce to false, or ``~dropped`` below turns NULL and
+    ``where`` silently discards a target row SQL MERGE would keep."""
     if v is None or isinstance(v, bool):
         return F.lit(bool(v) if v is not None else default)
-    return _as_col(v)
+    return F.coalesce(_as_col(v).cast("boolean"), F.lit(False))
 
 
 def merge_into(

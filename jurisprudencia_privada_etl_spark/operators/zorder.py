@@ -104,6 +104,13 @@ def zvalue(df: DataFrame, cols: list[str], bits: int = 8) -> tuple[DataFrame, st
         raise ValueError("cols must be non-empty")
     if not 1 <= bits <= 16:
         raise ValueError(f"bits must be in [1, 16], got {bits}")
+    if bits * len(cols) > 63:
+        # bit i*ndims+d must stay below the long's sign bit or the top
+        # Morton bit flips z negative and range-partitioning misorders it
+        raise ValueError(
+            f"bits*ndims = {bits * len(cols)} exceeds 63 — lower bits "
+            f"(≤{63 // len(cols)} for {len(cols)} dims) or cluster fewer columns"
+        )
     dtypes = dict(df.dtypes)
     for c in cols:
         if c not in dtypes:

@@ -196,11 +196,14 @@ def _render(n_events: int, pair_rounds: list) -> str:
     min1 = min(min(p["1"]["full_sec"]) for p in pair_rounds)
     min4 = min(min(p["4"]["full_sec"]) for p in pair_rounds)
     effs = []
+    gated = []  # rounds where NEITHER window was flagged degraded
     for i, pair in enumerate(pair_rounds):
         b1, b4 = min(pair["1"]["full_sec"]), min(pair["4"]["full_sec"])
         eff = b1 / (4 * b4)
         effs.append(eff)
         slow1, slow4 = b1 > 1.4 * min1, b4 > 1.4 * min4
+        if not slow1 and not slow4:
+            gated.append((i, eff))
         note = (
             " (both windows degraded)" if slow1 and slow4
             else " (1×8 window degraded → ratio OVERSTATED)" if slow1
@@ -226,12 +229,36 @@ def _render(n_events: int, pair_rounds: list) -> str:
         b1, b4 = min(p["1"]["full_sec"]), min(p["4"]["full_sec"])
         if b1 <= 1.15 * min1:
             clean_num.append(b1 / (4 * b4))
+    # gated median — same policy as the thread bench's "gate each median on
+    # the measurements it uses": a round enters the median only when NEITHER
+    # level's best-of sits >1.4× above its cross-round minimum (the identical
+    # threshold the per-round annotations use).  The exclusion is symmetric
+    # and direction-blind: a degraded 1×8 window (ratio OVERSTATED) is
+    # dropped by the same rule as a degraded 4×8 window (ratio understated),
+    # so the gate cannot bias the median upward — it only removes rounds the
+    # brackets/minima prove measured the neighbor, not the engine.
+    geffs = sorted(e for _, e in gated)
+    gmed = (
+        geffs[len(geffs) // 2]
+        if len(geffs) % 2
+        else (geffs[len(geffs) // 2 - 1] + geffs[len(geffs) // 2]) / 2
+    ) if geffs else None
     lines += [
         "",
-        f"Median N→4N executor-level efficiency: **{med:.2f}** across {len(effs)} round(s)",
-        "(medians here mix windows the brackets prove were stolen at very",
-        "different depths — see the annotations; the per-round and composite",
-        "views below are the physically meaningful reads).",
+        (
+            f"Gated median (rounds {[i for i, _ in gated]} — both windows within"
+            f" 1.4× of their cross-round minima; the same degraded-window flag"
+            f" the table annotates, applied symmetrically to overstated and"
+            f" understated rounds alike): **{gmed:.2f}** across {len(geffs)}"
+            f" round(s)."
+            if gmed is not None
+            else "Gated median: no round had both windows undegraded."
+        ),
+        "",
+        f"Ungated median across ALL {len(effs)} round(s): **{med:.2f}**",
+        "(this mixes windows the brackets prove were stolen at very",
+        "different depths — see the annotations; the gated median and the",
+        "composite below are the physically meaningful reads).",
         "",
         f"Cross-round composite (one-sided-noise clean estimate): best 1×8 =",
         f"{min1:.1f}s, best 4×8 = {min4:.1f}s → efficiency **{composite:.2f}**.",

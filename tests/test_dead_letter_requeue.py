@@ -104,3 +104,13 @@ def test_requeued_stale_ordinal_loses_lww(spark, tmp_path):
     row = sink.load().where(F.col("path") == "c.py").first()
     assert row["commit"] == "c9" and row["ordinal"] == 9  # ordinal 3 lost
     assert sink.load().where(F.col("path") == "d.py").count() == 1  # new key won
+
+
+def test_src_epoch_labels_survive_missing_dirs(spark, tmp_path):
+    """Requesting epochs whose dirs don't all exist must not shift the
+    _src_epoch labels of the ones that do (regression: a post-filter zip
+    tagged epoch 3's rows with epoch 1)."""
+    sink, cfg = _setup(spark, tmp_path)  # dead letters live at epoch=0
+    dead = read_dead_letters(spark, sink.table_path, epochs=[-5, 0]).toPandas()
+    assert set(dead["_src_epoch"]) == {0}
+    assert len(dead) == 2

@@ -133,3 +133,33 @@ def test_single_shuffle_plan(spark, tables):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FullOuter") == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_null_condition_is_not_satisfied(spark):
+    """Three-valued logic: a clause condition that evaluates to SQL NULL is
+    NOT satisfied — the row must be KEPT (carried forward / not deleted),
+    never silently dropped by a NULL leaking into the routing filter."""
+    target = spark.createDataFrame(
+        [(1, None, 10), (2, "keep", 20), (7, None, 70)],
+        "id int, tag string, val int",
+    )
+    source = spark.createDataFrame(
+        [(1, "x", 100), (2, "y", 200)], "id int, tag string, val int"
+    )
+    out = merge_into(
+        target,
+        source,
+        on=["id"],
+        # t.tag is NULL for id=1 → both conditions evaluate NULL there
+        when_matched_delete="t.tag = 'drop'",
+        when_matched_update={"val": "s.val"},
+        when_matched_update_condition="t.tag = 'keep'",
+        when_not_matched_insert=None,
+        # t.tag NULL for target-only id=7 → by-source delete must not fire
+        when_not_matched_by_source_delete="t.tag = 'drop'",
+    )
+    assert _rows(out) == {
+        (1, None, 10),    # NULL delete + NULL update conditions → unchanged
+        (2, "keep", 200),  # update condition true → updated
+        (7, None, 70),    # NULL by-source delete condition → kept
+    }

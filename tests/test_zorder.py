@@ -183,3 +183,14 @@ def test_compact_zorder_preserves_state_and_tightens_stats(spark, tmp_path):
     m_z, n_z = admitting(zsink)
     assert n_plain > 4 and n_z > 4  # sub-split survived compaction
     assert m_z < m_plain  # z-layout skips files the hash layout cannot
+
+
+def test_zvalue_rejects_morton_overflow(spark):
+    """bits*ndims > 63 would push the top Morton bit into the long's sign
+    bit (negative z → range partitioner misorders); must raise up front."""
+    import pytest
+    from jurisprudencia_privada_etl_spark.operators.zorder import zvalue
+
+    df = spark.range(4).selectExpr("id a", "id b", "id c", "id d")
+    with pytest.raises(ValueError, match="exceeds 63"):
+        zvalue(df, ["a", "b", "c", "d"], bits=16)
