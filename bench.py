@@ -368,6 +368,11 @@ def main() -> None:
         "metric": "cdc_replay_plus_query_suite_wall_seconds",
         "value": round(total, 2),
         "unit": "sec",
+        # the suite GROWS round over round (44 queries in r03 → 75 in r04),
+        # so cross-round `value` comparisons must normalize by n_queries;
+        # the round-comparable throughput number is replay.events_per_sec
+        # (BASELINE.json's metric: change-events/sec to converged state).
+        "n_queries": len(query_times),
         "queries": query_times,
         "sf": sf,
         "replay": replay_stats,
