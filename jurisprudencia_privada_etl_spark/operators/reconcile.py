@@ -43,13 +43,25 @@ def split_valid(
     df: DataFrame,
     required_cols: list[str],
     supported_ops: tuple[str, ...] = ("I", "U", "D"),
+    check_constraints: dict[str, str] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """Validate shape: required fields non-null, op in the supported set.
+    """Validate shape: required fields non-null, op in the supported set,
+    plus optional declarative CHECK constraints.
 
     Returns (valid, dead_letter) — dead_letter carries an ``error`` column.
     The reference throws per item and catches into update.file_errors
     (sharepoint.ts:595-610, 392-396); here violations become rows, not
     exceptions, and the job never stops.
+
+    ``check_constraints``: name → SQL predicate over the batch's columns
+    (the Delta Lake ``ADD CONSTRAINT ... CHECK`` semantics at the ingest
+    gate).  Standard SQL CHECK three-valued logic: a row violates only when
+    the predicate evaluates to FALSE — NULL (unknown) passes, exactly as in
+    ANSI CHECK constraints; route NULLs explicitly (``x IS NOT NULL AND
+    ...``) when unknown must fail.  Violations dead-letter with
+    ``error = "check constraint violated: <name>"``; the expression chain
+    is pure JVM (whole-stage codegen), so constraints ride the existing
+    validation projection for free.
     """
     checks = [
         (F.col(c).isNull(), f"missing required field: {c}") for c in required_cols
@@ -59,6 +71,14 @@ def split_valid(
         # which would let null-op rows sail through the where() below.
         checks.append(
             (F.col("op").isNull() | ~F.col("op").isin(*supported_ops), "unsupported op")
+        )
+    for name, sql in (check_constraints or {}).items():
+        # violated iff predicate == FALSE (NULL passes, per SQL CHECK)
+        checks.append(
+            (
+                ~F.coalesce(F.expr(sql).cast("boolean"), F.lit(True)),
+                f"check constraint violated: {name}",
+            )
         )
     err = F.lit(None).cast("string")
     for cond, msg in reversed(checks):

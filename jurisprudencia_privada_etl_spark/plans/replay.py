@@ -79,6 +79,12 @@ class ReplayConfig:
     # to <table>/_dead_letter/epoch=N instead of failing the job (F10 —
     # the reference's update.file_errors side-channel, sharepoint.ts:392-396)
     validate: bool = False
+    # declarative CHECK constraints at the ingest gate (Delta ADD CONSTRAINT
+    # semantics, SQL three-valued logic: only FALSE violates, NULL passes):
+    # name -> SQL predicate over the changelog columns; violating rows
+    # dead-letter as "check constraint violated: <name>".  Implies nothing
+    # unless validate=True (the constraints ride the same validation split).
+    check_constraints: dict[str, str] = field(default_factory=dict)
     # epoch -> schema changes to apply BEFORE that epoch's merge
     schema_evolution: dict[int, list[SchemaChange]] = field(default_factory=dict)
     # changelog fields to diff against the live target row per epoch; every
@@ -183,7 +189,10 @@ def _valid_rows(batch: DataFrame, cfg: ReplayConfig) -> DataFrame:
         return batch
     from jurisprudencia_privada_etl_spark.operators.reconcile import split_valid
 
-    return split_valid(batch, required_cols=["repo", "path", "ordinal"])[0]
+    return split_valid(
+        batch, required_cols=["repo", "path", "ordinal"],
+        check_constraints=cfg.check_constraints,
+    )[0]
 
 
 class AuditRejectedError(RuntimeError):
@@ -224,7 +233,10 @@ def process_epoch(
         if cfg.validate:
             from jurisprudencia_privada_etl_spark.operators.reconcile import split_valid
 
-            batch, dead = split_valid(batch, required_cols=["repo", "path", "ordinal"])
+            batch, dead = split_valid(
+                batch, required_cols=["repo", "path", "ordinal"],
+                check_constraints=cfg.check_constraints,
+            )
             dead_dir = f"{sink.table_path}/_dead_letter/epoch={epoch}"
             side.append(
                 ("dead_letter_rows",

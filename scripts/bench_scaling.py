@@ -174,7 +174,11 @@ ROUNDS_JSON = os.path.join(REPO, "BENCH", "scaling_rounds.json")
 # must match CFG() + the session's JVM-start perf confs; bumping the tag
 # quarantines older rounds (lz4-shuffle rounds live in
 # BENCH/scaling_rounds_lz4shuffle.json)
-CONFIG_TAG = "n_salts=0,files_per_bucket=2,n_buckets=128,io_codec=zstd"
+# engine=r4-pipelined: rounds measured after the replay pipelining /
+# key-stats-sidecar / n_salts-auto changes, which cut the local[8] wall
+# ~20% — rounds from the earlier engine live in
+# BENCH/scaling_rounds_prepipeline.json and must not share a median.
+CONFIG_TAG = "n_salts=0,files_per_bucket=2,n_buckets=128,io_codec=zstd,engine=r4-pipelined"
 
 
 def main():

@@ -22,7 +22,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO_ROOT)
+# python workers spawned by the local JVM inherit this env, so pandas-UDF
+# stages resolve the package even when the CLI runs from a neutral cwd
+os.environ["PYTHONPATH"] = _REPO_ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 from pyspark.sql import SparkSession
 
@@ -50,6 +57,15 @@ def main() -> None:
         "delta files (merge-on-read; fold with --compact)",
     )
     ap.add_argument("--window-lww", action="store_true", help="row_number-window LWW")
+    ap.add_argument("--validate", action="store_true",
+                    help="validate each batch (non-null keys/ordinal, known op); "
+                         "invalid rows go to <table>/_dead_letter/epoch=N")
+    ap.add_argument("--check", action="append", metavar="NAME:SQL_PREDICATE",
+                    default=[],
+                    help="declarative CHECK constraint at the ingest gate "
+                         "(repeatable; implies --validate): rows where the "
+                         "predicate is FALSE dead-letter as 'check constraint "
+                         "violated: NAME' (SQL three-valued logic — NULL passes)")
     ap.add_argument(
         "--conflict-fields",
         help="comma-separated changelog fields to diff into <table>/_conflicts/epoch=N (S14)",
@@ -163,6 +179,12 @@ def main() -> None:
             applied = sum(metrics.get(k, 0) for k in ("created", "updated", "deleted"))
             return applied == 0 or metrics.get("deleted", 0) <= limit * applied
 
+    checks = []
+    for c in args.check:
+        if ":" not in c:
+            sys.exit(f"--check must be NAME:SQL_PREDICATE, got {c!r}")
+        checks.append(tuple(c.split(":", 1)))
+
     cfg = ReplayConfig(
         n_salts=args.n_salts,
         n_buckets=args.n_buckets,
@@ -178,6 +200,8 @@ def main() -> None:
         audit_gate=audit_gate,
         auto_compact_files_per_bucket=args.auto_compact,
         target_file_bytes=args.target_file_bytes,
+        validate=args.validate or bool(args.check),
+        check_constraints=dict(checks),
     )
 
     if args.emit_feed is not None or args.consumer is not None:

@@ -114,3 +114,34 @@ def test_src_epoch_labels_survive_missing_dirs(spark, tmp_path):
     dead = read_dead_letters(spark, sink.table_path, epochs=[-5, 0]).toPandas()
     assert set(dead["_src_epoch"]) == {0}
     assert len(dead) == 2
+
+
+def test_check_constraints_route_false_rows_only(spark, tmp_path):
+    """Declarative CHECK at the ingest gate: rows where the predicate is
+    FALSE dead-letter under the constraint's name; NULL passes (SQL CHECK
+    three-valued logic), TRUE passes."""
+    path = str(tmp_path / "ck")
+    sink = HadoopParquetSink(spark, path)
+    sink.create(TableSchema.from_struct(TARGET_SCHEMA))
+    cfg = ReplayConfig(
+        validate=True,
+        check_constraints={
+            "lang_known": "lang IN ('py', 'ts', 'go')",
+            "content_nonempty": "length(content) > 0",
+        },
+    )
+    e0 = _mk(spark, [
+        (0, 1, "I", "r1", "a.py", "c1", "py", "v1"),    # passes both
+        (0, 2, "I", "r1", "b.py", "c2", "rb", "v2"),    # lang_known FALSE
+        (0, 3, "I", "r1", "c.py", "c3", None, "v3"),    # lang NULL → passes
+        (0, 4, "I", "r1", "d.py", "c4", "py", ""),      # content_nonempty FALSE
+    ])
+    process_epoch(spark, sink, e0, 0, cfg)
+    live = {r["path"] for r in sink.load().collect()}
+    assert live == {"a.py", "c.py"}
+    dead = read_dead_letters(spark, sink.table_path).toPandas()
+    errs = dict(zip(dead["path"], dead["error"]))
+    assert errs == {
+        "b.py": "check constraint violated: lang_known",
+        "d.py": "check constraint violated: content_nonempty",
+    }
