@@ -41,6 +41,7 @@ resurrect a deleted key.  Three physical strategies, property-tested equal:
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import sys
@@ -252,6 +253,97 @@ class HadoopParquetSink:
                 }
             )
         return out
+
+    # -- metadata tables (Iceberg `db.tbl.files`/`history`/`partitions`,
+    #    Delta DESCRIBE HISTORY / DESCRIBE DETAIL analog) -----------------------
+
+    def history(self) -> DataFrame:
+        """``snapshots()`` as a queryable DataFrame — the Iceberg ``history``
+        metadata table / Delta ``DESCRIBE HISTORY``.  One row per retained
+        manifest version with the operation kind, parent, epoch, tags and
+        commit time (manifest file mtime).  Driver-side metadata only."""
+        rows = []
+        for s in self.snapshots():
+            p = os.path.join(self.table_path, mf.MANIFEST_DIR, f"v{s['version']:08d}.json")
+            rows.append(
+                (
+                    s["version"],
+                    s["parent_version"],
+                    s["last_committed_epoch"],
+                    s["operation"],
+                    bool(s["readable"]),
+                    list(s["tags"]),
+                    float(os.path.getmtime(p)) if os.path.exists(p) else None,
+                    json.dumps(s["metrics"], sort_keys=True),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "version int, parent_version int, last_committed_epoch int, "
+            "operation string, readable boolean, tags array<string>, "
+            "committed_at double, metrics string",
+        )
+
+    def files(self, version: int | None = None) -> DataFrame:
+        """One row per physical file the snapshot references — the Iceberg
+        ``files`` metadata table.  Covers base bucket files, MoR delta files
+        and position-delete (DV) sets, each labeled by ``kind``.  Built from
+        the manifest + a directory stat per referenced unit: O(referenced
+        files) driver work and zero data-file reads, exactly like planning a
+        scan.  ``content_rows`` is the manifest's row count where it is
+        tracked (DV sets); NULL otherwise."""
+        m = self.manifest(version)
+        rows = []
+
+        def _unit(bucket: int, rel: str, kind: str, sv: int, nrows):
+            d = os.path.join(self.table_path, rel)
+            if not os.path.isdir(d):
+                return
+            for name in sorted(os.listdir(d)):
+                if name.endswith(".parquet"):
+                    p = os.path.join(d, name)
+                    rows.append(
+                        (
+                            bucket,
+                            kind,
+                            os.path.join(rel, name),
+                            int(os.path.getsize(p)),
+                            sv,
+                            nrows,
+                        )
+                    )
+
+        for b, entry in m.buckets.items():
+            bucket = int(b)
+            _unit(bucket, entry["path"], "base", int(entry["schema_version"]), None)
+            for dlt in entry.get("deltas") or []:
+                _unit(bucket, dlt["path"], "delta", int(dlt["schema_version"]), None)
+            for dv in entry.get("dvs") or []:
+                _unit(bucket, dv["path"], "dv", int(dv["schema_version"]),
+                      int(dv.get("rows") or 0))
+        return self.spark.createDataFrame(
+            rows,
+            "bucket int, kind string, path string, size_bytes long, "
+            "written_version int, content_rows long",
+        )
+
+    def partitions(self, version: int | None = None) -> DataFrame:
+        """Per-bucket physical summary — the Iceberg ``partitions`` metadata
+        table over this layout's hash buckets: file/byte totals split by
+        kind, so skew, delta stack-up and DV debt are one query away
+        (``ORDER BY total_bytes DESC``)."""
+        f = self.files(version)
+        return (
+            f.groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_files"),
+                F.sum("size_bytes").alias("total_bytes"),
+                F.sum(F.when(F.col("kind") == "delta", 1).otherwise(0)).alias("n_delta_files"),
+                F.sum(F.when(F.col("kind") == "dv", 1).otherwise(0)).alias("n_dv_files"),
+                F.sum(F.when(F.col("kind") == "dv", F.col("content_rows"))).alias("dv_rows"),
+            )
+            .orderBy("bucket")
+        )
 
     def last_committed_epoch(self) -> int:
         return self.manifest().last_committed_epoch

@@ -85,6 +85,9 @@ def main() -> None:
                     help="with --compact: files per bucket after rewrite")
     ap.add_argument("--expire-snapshots", type=int, metavar="KEEP",
                     help="expire all but the newest KEEP snapshots, then exit")
+    ap.add_argument("--show", choices=["history", "files", "partitions"],
+                    help="print the metadata table (Iceberg history/files/"
+                         "partitions analog) as JSON lines, then exit")
     ap.add_argument("--max-epoch", type=int, metavar="N",
                     help="replay only epochs <= N (bounded catch-up; resume "
                          "later runs from the manifest as usual)")
@@ -265,6 +268,13 @@ def main() -> None:
         replica = HadoopParquetSink(spark, args.table, n_buckets=args.n_buckets)
         print(json.dumps({"repair": repair_replica(primary, replica,
                                                    dry_run=args.dry_run)}))
+        return
+
+    if args.show is not None:
+        sink = HadoopParquetSink(spark, args.table, n_buckets=args.n_buckets)
+        df = getattr(sink, args.show)()
+        for line in df.toJSON().collect():
+            print(line)
         return
 
     maintenance = (
