@@ -295,10 +295,22 @@ def _render(n_events: int, pair_rounds: list) -> str:
 
 
 def main() -> None:
+    # --suffix NAME routes this run's rounds/markdown to
+    # cluster_rounds_NAME.json / cluster_scaling_NAME.md so batches at a
+    # different event count never overwrite the main 32M table
+    global ROUNDS_JSON
+    suffix = ""
+    if "--suffix" in sys.argv:
+        i = sys.argv.index("--suffix")
+        suffix = "_" + sys.argv[i + 1]
+        del sys.argv[i:i + 2]
+        ROUNDS_JSON = os.path.join(REPO, "BENCH", f"cluster_rounds{suffix}.json")
+    md_name = f"cluster_scaling{suffix}.md"
+
     if "--render-only" in sys.argv:
         with open(ROUNDS_JSON) as f:
             prev = json.load(f)
-        md = os.path.join(REPO, "BENCH", "cluster_scaling.md")
+        md = os.path.join(REPO, "BENCH", md_name)
         with open(md, "w") as f:
             f.write(_render(prev["n_events"], prev["pair_rounds"]))
         print(f"wrote {md}")
@@ -309,7 +321,13 @@ def main() -> None:
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     append = "--append" in sys.argv
 
-    wd = tempfile.mkdtemp(prefix="bench_cluster_")
+    # the generated changelog lives on tmpfs for the same reason shuffle and
+    # sink do: the sandbox has ONE shared disk, so once the input outgrows
+    # the page cache (64M+ events) the 4x8 level's 32 cores serialize on
+    # disk reads a real 4-node cluster's distributed storage would not —
+    # clean CPU brackets, IO-bound replay, meaningless ratio
+    wd = tempfile.mkdtemp(prefix="bench_cluster_",
+                          dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
     zip_path = os.path.join(wd, "engine.zip")
     sys.path.insert(0, os.path.join(REPO, "scripts"))
     import build_pyfiles
@@ -340,7 +358,7 @@ def main() -> None:
             with open(ROUNDS_JSON, "w") as f:
                 json.dump({"n_events": n_events, "config": CONFIG_TAG,
                            "pair_rounds": pair_rounds}, f, indent=1)
-            md = os.path.join(REPO, "BENCH", "cluster_scaling.md")
+            md = os.path.join(REPO, "BENCH", md_name)
             with open(md, "w") as f:
                 f.write(_render(n_events, pair_rounds))
             print(f"wrote {md}", flush=True)
