@@ -79,11 +79,31 @@ def stream_replay(
             return  # re-delivered micro-batch after partial failure: no-op
         if batch_df.isEmpty():
             return
+        extra = {"streaming_batch": batch_id}
+        if cfg.validate:
+            # same F10 dead-letter gate as the batch path (validation split +
+            # CHECK constraints), keyed by the micro-batch id — a re-delivered
+            # batch overwrites the same epoch dir, so the channel stays
+            # exactly-once alongside the sink's epoch stamp
+            from jurisprudencia_privada_etl_spark.operators.reconcile import split_valid
+            from jurisprudencia_privada_etl_spark.plans.replay import _write_counted
+
+            batch_df, dead = split_valid(
+                batch_df, required_cols=["repo", "path", "ordinal"],
+                check_constraints=cfg.check_constraints,
+            )
+            n_dead = _write_counted(
+                spark, dead, f"{sink.table_path}/_dead_letter/epoch={batch_id}",
+                f"dead_letter_{batch_id}",
+            )
+            if n_dead:
+                extra["dead_letter_rows"] = n_dead
         payload = [c.name for c in sink.manifest().schema.columns]
+        # stats AFTER the validation split: lineage never counts dead rows
         touched, lineage = sink.key_stats(batch_df)
         updates = prepare_epoch_updates(spark, batch_df, cfg, payload)
         sink.merge(updates, batch_id, touched=touched, lineage=lineage,
-                   extra_metrics={"streaming_batch": batch_id})
+                   extra_metrics=extra)
         for view in views or []:
             view.refresh()
 

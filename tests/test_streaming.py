@@ -142,3 +142,48 @@ def test_stream_replay_keeps_materialized_views_current(spark, tmp_path):
     stream_replay(spark, clog, table, ckpt, ReplayConfig(), views=[mv])
     assert mv.synced_version == v_synced
     cmp()
+
+
+def test_stream_replay_validation_dead_letters(spark, tmp_path):
+    """The streaming path applies the same F10 validation gate as batch:
+    invalid / CHECK-violating rows dead-letter under the micro-batch id and
+    never reach the table; lineage counts only applied rows."""
+    from pyspark.sql import functions as F
+
+    from jurisprudencia_privada_etl_spark.operators.dead_letter import read_dead_letters
+
+    log = synthetic_changelog(spark, 800, seed=57, n_epochs=2, n_repos=5,
+                              paths_per_repo=30, pct_update=0.3, pct_delete=0.1)
+    clog = str(tmp_path / "clog")
+    write_changelog(log, clog)
+
+    table = str(tmp_path / "t")
+    cfg = ReplayConfig(
+        validate=True,
+        check_constraints={"lang_known": "lang IN ('py', 'ts', 'go', 'rs', 'java', 'md')"},
+    )
+    stream_replay(spark, clog, table, str(tmp_path / "ckpt"), cfg)
+
+    sink = HadoopParquetSink(spark, table)
+    live = sink.load().toPandas()
+    ok = {"py", "ts", "go", "rs", "java", "md"}
+    assert set(live["lang"].dropna()).issubset(ok)
+
+    dead = read_dead_letters(spark, table).toPandas()
+    assert len(dead) > 0
+    assert (dead["error"] == "check constraint violated: lang_known").all()
+    assert not set(dead["lang"]).issubset(ok)
+
+    # the per-batch manifests carry the dead-letter counts
+    n_dead_metric = sum(
+        m.get("dead_letter_rows", 0) for m in stream_metrics(spark, table)
+    )
+    assert n_dead_metric == len(dead)
+
+    # batch replay with the identical config converges to the same state
+    from jurisprudencia_privada_etl_spark.plans.replay import replay_dataframe
+
+    bsink = replay_dataframe(spark, log, str(tmp_path / "b"), cfg)
+    bl = bsink.load().select(*PAYLOAD).toPandas()
+    sl = live[PAYLOAD]
+    assert_state_equal(sl, bl)
