@@ -379,7 +379,41 @@ def main() -> None:
         "ann_recall": ann_recall,
         "cpus": cpus,
     }
-    print(json.dumps(out))
+    # Full result goes to a file; stdout gets a compact FINAL line.  The
+    # round driver keeps only the last ~2000 chars of stdout, so a single
+    # long JSON line loses its head and parses as null (BENCH_r04.json).
+    # The last stdout line must therefore be complete, parseable JSON that
+    # fits the capture window on its own.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH", "last_bench_full.json")
+    try:
+        os.makedirs(os.path.dirname(full_path), exist_ok=True)
+        with open(full_path, "w") as f:
+            json.dump(out, f, indent=1)
+    except OSError as e:  # read-only checkout: stdout line still carries headline
+        print(f"full bench dump failed: {e}", file=sys.stderr)
+
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(query_times),
+        "replay_events_per_sec": replay_stats.get("events_per_sec"),
+        "replay_seconds": replay_stats.get("seconds"),
+        "at_scale_events_per_sec": (replay_stats.get("at_scale") or {}).get("events_per_sec"),
+        "ann_recall": ann_recall,
+        "cpus": cpus,
+        "queries": {k: round(v, 2) for k, v in query_times.items()},
+        "full": "BENCH/last_bench_full.json",
+    }
+    line = json.dumps(compact)
+    if len(line) > 1900:  # keep the final line inside the capture window
+        slowest = dict(sorted(query_times.items(), key=lambda kv: -kv[1])[:15])
+        compact["queries"] = {k: round(v, 2) for k, v in slowest.items()}
+        compact["queries_note"] = f"15 slowest of {len(query_times)}; full set in {compact['full']}"
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
 
 

@@ -26,9 +26,19 @@ Semantics pinned here (tests/test_merge_into.py):
     first-clause-wins in clause order; a kwargs API has no clause order,
     so the order is fixed and documented.)
   * A target row matching several source rows is ambiguous — SQL MERGE
-    raises.  ``validate="error"`` reproduces that check (costs one
-    aggregate job over the source keys); the default ``"none"`` trusts
-    the caller, matching Delta's behavior when the check is disabled.
+    raises.  ``validate="error"`` reproduces that check (one null-safe
+    semi-join + aggregate; duplicate source keys that match NO target
+    row are legal, as in SQL); the default ``"none"`` trusts the
+    caller, matching Delta's behavior when the check is disabled.
+  * **Merge keys join null-safely** (``<=>``): a NULL key on both sides
+    MATCHES, diverging from SQL/Delta/Iceberg ``MERGE ON t.k = s.k``
+    where NULL never equals NULL and NULL-key source rows always take
+    the NOT MATCHED branch.  Pinned deliberately: the engine's own
+    KEY_COLUMNS joins (plans/sink.py) are null-safe throughout, and a
+    MERGE that silently re-inserts a NULL-key row the sink would have
+    updated is the worse surprise here.  Callers needing ANSI behavior
+    can pre-filter ``source.where(col(k).isNotNull())``.  Note NULL-key
+    rows on both sides cross-multiply like any equal key value would.
   * Conditions and assignment values may reference both sides through
     the aliases ``t`` (target) and ``s`` (source): pass Columns built
     from ``F.col("t.x")`` / ``F.col("s.y")`` or SQL strings like
@@ -93,14 +103,30 @@ def merge_into(
         if k not in target.columns or k not in source.columns:
             raise ValueError(f"merge key {k!r} must exist in both sides")
     if validate == "error":
+        # SQL MERGE's ambiguity error fires only when a TARGET row matches
+        # multiple source rows — duplicate source keys that match nothing
+        # simply both take the NOT MATCHED branch and are legal (ADVICE r04).
+        # Null-safe semi-join to mirror the merge join's key semantics.
+        tk = target.select(*on).dropDuplicates(on).alias("tk")
+        sk = source.alias("sk")
+        semi_cond = None
+        for k in on:
+            c = F.col(f"sk.{k}").eqNullSafe(F.col(f"tk.{k}"))
+            semi_cond = c if semi_cond is None else semi_cond & c
         dup = (
-            source.groupBy(*on).count().where(F.col("count") > 1).limit(1).collect()
+            sk.join(tk, semi_cond, "left_semi")
+            .groupBy(*on)
+            .count()
+            .where(F.col("count") > 1)
+            .limit(1)
+            .collect()
         )
         if dup:
             key = {k: dup[0][k] for k in on}
             raise ValueError(
-                f"source has multiple rows for merge key {key} — SQL MERGE "
-                "requires each target row to match at most one source row"
+                f"source has multiple rows for merge key {key} matching a "
+                "target row — SQL MERGE requires each target row to match "
+                "at most one source row"
             )
     elif validate != "none":
         raise ValueError(f"validate must be 'none' or 'error', got {validate!r}")

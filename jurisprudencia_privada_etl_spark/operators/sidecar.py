@@ -148,7 +148,18 @@ def decode_sidecar_bytes(data: bytes) -> list[pd.DataFrame]:
     return pages
 
 
-def parse_sidecar_files(files: DataFrame) -> DataFrame:
+SIDECAR_QUARANTINE_SCHEMA = T.StructType(
+    [
+        T.StructField("folder", T.StringType(), False),
+        T.StructField("file_index", T.LongType(), False),
+        T.StructField("_row", T.LongType(), True),
+        T.StructField("cells", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def parse_sidecar_files(files: DataFrame, errors: str = "raise") -> DataFrame:
     """(folder, file_index, data: binary) → cleaned cell rows, Arrow-batched.
 
     Each file's bytes are decoded to page grids on the EXECUTOR (the child-
@@ -157,22 +168,86 @@ def parse_sidecar_files(files: DataFrame) -> DataFrame:
     concat, deterministic _row ordinals — file_index * 1_000_000 spaces
     files so first-wins order is stable across files, see
     parse_sidecar_pages).  Output is schema-stable (cells as a map) because
-    sidecar headers are data, not schema."""
+    sidecar headers are data, not schema.
+
+    ``errors``: ``"raise"`` (default) fails the task on an undecodable file
+    — the strict mode the decode-boundary tests pin.  ``"quarantine"``
+    routes the failure into the F10 dead-letter channel instead (the
+    reference catches per-item into update.file_errors and carries on,
+    sharepoint.ts:595-610): output grows ``file_index`` + ``error``
+    columns (SIDECAR_QUARANTINE_SCHEMA), one error row per failed FILE
+    (``_row``/``cells`` null, ``error`` = exception text), parse rows
+    ``error`` null.  Same single-pass union-schema pattern as
+    reconcile.dead_letter_map_in_pandas — decode runs exactly once per
+    file; split with ``error IS NULL`` and persist the tagged frame before
+    consuming both halves."""
+    if errors not in ("raise", "quarantine"):
+        raise ValueError(f"errors must be 'raise' or 'quarantine', got {errors!r}")
+    quarantine = errors == "quarantine"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for folder, fidx, data in zip(pdf["folder"], pdf["file_index"], pdf["data"]):
-                grids = decode_sidecar_bytes(bytes(data) if data is not None else b"")
-                cleaned = parse_sidecar_pages(grids, base_ordinal=int(fidx) * 1_000_000)
+                try:
+                    grids = decode_sidecar_bytes(bytes(data) if data is not None else b"")
+                    cleaned = parse_sidecar_pages(grids, base_ordinal=int(fidx) * 1_000_000)
+                except Exception as e:  # noqa: BLE001 — quarantine boundary
+                    if not quarantine:
+                        raise
+                    out.append(
+                        (folder, int(fidx), None, None, f"{type(e).__name__}: {e}")
+                    )
+                    continue
                 for rec in cleaned.to_dict("records"):
                     rowid = rec.pop("_row")
                     out.append(
-                        (folder, int(rowid), {k: v for k, v in rec.items() if v is not None})
+                        (
+                            folder,
+                            int(fidx),
+                            int(rowid),
+                            {k: v for k, v in rec.items() if v is not None},
+                            None,
+                        )
                     )
-            yield pd.DataFrame(out, columns=["folder", "_row", "cells"])
+            cols = ["folder", "file_index", "_row", "cells", "error"]
+            frame = pd.DataFrame(out, columns=cols)
+            yield frame if quarantine else frame[["folder", "_row", "cells"]]
 
-    return files.mapInPandas(run, schema=SIDECAR_CELLS_SCHEMA)
+    schema = SIDECAR_QUARANTINE_SCHEMA if quarantine else SIDECAR_CELLS_SCHEMA
+    return files.mapInPandas(run, schema=schema)
+
+
+def quarantine_sidecar_errors(
+    parsed: DataFrame, table_path: str, epoch: int
+) -> tuple[DataFrame, int]:
+    """Split a quarantine-mode parse and write its error rows to the
+    table's F10 dead-letter channel (``<table>/_dead_letter/epoch=N`` —
+    the directory operators/dead_letter.py enumerates), so one poisoned
+    sidecar quarantines as a row while the epoch commits.
+
+    Returns ``(ok_rows, n_dead)``.  Requeue path: these are ENRICHMENT
+    failures keyed by (folder, file_index), not changelog rows — re-drive
+    by re-parsing the repaired file bytes, not through
+    requeue_dead_letters' merge loop (its epochs are disjoint from replay
+    epochs only by caller convention; pick an epoch id outside the replay
+    range, e.g. a sidecar-parse sequence number)."""
+    tagged = parsed.persist()
+    dead = tagged.where(F.col("error").isNotNull()).select(
+        "folder", "file_index", "error"
+    )
+    dead_dir = f"{table_path}/_dead_letter/epoch={epoch}"
+    dead.write.mode("overwrite").parquet(dead_dir)
+    import pyarrow.parquet as pq  # row count from footers, zero extra jobs
+    import os as _os
+
+    n_dead = sum(
+        pq.read_metadata(_os.path.join(dead_dir, f)).num_rows
+        for f in _os.listdir(dead_dir)
+        if f.endswith(".parquet")
+    )
+    ok = tagged.where(F.col("error").isNull()).drop("error")
+    return ok, n_dead
 
 
 def sidecar_rows_from_files(files: DataFrame, columns: list[str]) -> DataFrame:

@@ -82,8 +82,9 @@ class ReplayConfig:
     # declarative CHECK constraints at the ingest gate (Delta ADD CONSTRAINT
     # semantics, SQL three-valued logic: only FALSE violates, NULL passes):
     # name -> SQL predicate over the changelog columns; violating rows
-    # dead-letter as "check constraint violated: <name>".  Implies nothing
-    # unless validate=True (the constraints ride the same validation split).
+    # dead-letter as "check constraint violated: <name>".  The constraints
+    # ride the validation split, so a non-empty dict auto-enables validate
+    # (__post_init__) — declared constraints never silently don't run.
     check_constraints: dict[str, str] = field(default_factory=dict)
     # epoch -> schema changes to apply BEFORE that epoch's merge
     schema_evolution: dict[int, list[SchemaChange]] = field(default_factory=dict)
@@ -113,6 +114,15 @@ class ReplayConfig:
     # bloom build taxes every epoch's write, the benefit accrues to
     # lookup()/key_history()-heavy deployments.  None disables.
     bloom_filter_ndv: int | None = None
+
+    def __post_init__(self) -> None:
+        # Declared constraints must never silently not run: the CLI guards
+        # this (--check implies --validate) but a programmatic caller
+        # setting only check_constraints used to get NO validation and no
+        # error (ADVICE r04).  Constraints ride the validation split, so
+        # turn it on for them.
+        if self.check_constraints and not self.validate:
+            self.validate = True
 
     def effective_n_salts(self) -> int:
         """Resolve the n_salts=None auto default — see the field comment."""

@@ -1825,8 +1825,9 @@ WINDOW w AS (PARTITION BY shard ORDER BY doc_id ASC ROWS UNBOUNDED PRECEDING)
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clustering: shingle-overlap pairs (the
     `ngram_jaccard` edge set) closed into connected components
-    (operators/graph.connected_components — iterative min-label
-    propagation, localCheckpoint-truncated lineage), every document
+    (operators/graph.connected_components — default large-star/small-star
+    contraction, O(log² n) rounds diameter-independent; min-label
+    propagation kept as the property-tested twin), every document
     labeled with its cluster's min doc_id, singletons labeling
     themselves.  The oracle computes the same closure with a recursive
     CTE — min-id labeling is algorithm-independent, so the two must agree

@@ -118,3 +118,31 @@ def test_adaptive_merge_exactly_once_restart(spark, tmp_path):
     replay_dataframe(spark, log.where(F.col("epoch") == 1), sink.table_path, cfg)
     oneshot = replay_dataframe(spark, log, str(tmp_path / "oneshot"), cfg)
     assert _digest(sink.load()) == _digest(oneshot.load())
+
+
+def test_salted_unsalted_parity_under_adaptive_mor(spark, tmp_path):
+    """VERDICT r04 item 8 — the one combination the suite didn't cross:
+    salting × adaptive sizing × merge-on-read together.  Salting and the
+    write layout must be invisible to logical state: salted MoR adaptive
+    ≡ unsalted MoR adaptive ≡ plain CoW ground truth, by table digest."""
+    log = _log(spark, seed=555)
+    kw = dict(n_buckets=8, target_file_bytes=16 * 1024, write_mode="mor")
+    unsalted = replay_dataframe(
+        spark, log, str(tmp_path / "u"), ReplayConfig(n_salts=0, **kw)
+    )
+    salted = replay_dataframe(
+        spark, log, str(tmp_path / "s"), ReplayConfig(n_salts=16, **kw)
+    )
+    base = replay_dataframe(
+        spark, log, str(tmp_path / "b"), ReplayConfig(n_buckets=8)
+    )
+    d_base = _digest(base.load())
+    assert _digest(unsalted.load()) == d_base
+    assert _digest(salted.load()) == d_base
+    # MoR actually exercised: delta stacks exist before compaction
+    deltas = {
+        b: e["deltas"]
+        for b, e in salted.manifest().buckets.items()
+        if e.get("deltas")
+    }
+    assert deltas, "no MoR delta entries — the mode wasn't exercised"

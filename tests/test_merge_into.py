@@ -113,6 +113,34 @@ def test_duplicate_source_match_raises_with_validate(spark, tables):
     merge_into(target, dup, on=["id"], when_matched_update="all")
 
 
+def test_duplicate_unmatched_source_keys_are_legal_with_validate(spark, tables):
+    """SQL MERGE's ambiguity error fires only when a TARGET row matches
+    multiple source rows; duplicate source keys that match nothing both
+    take NOT MATCHED and must pass validate='error' (ADVICE r04)."""
+    target, _ = tables
+    dup_unmatched = spark.createDataFrame(
+        [(40, "X", 1, False), (40, "X2", 2, False)],  # 40 not in target
+        "id int, name string, val int, flag boolean",
+    )
+    out = merge_into(
+        target,
+        dup_unmatched,
+        on=["id"],
+        when_matched_update="all",
+        validate="error",
+    )
+    assert out.where(F.col("id") == 40).count() == 2  # both inserted
+
+
+def test_null_keys_match_null_safely(spark):
+    """Pinned divergence from ANSI MERGE (module docstring): NULL merge
+    keys on both sides MATCH (engine-wide <=> key semantics)."""
+    target = spark.createDataFrame([(None, 1), (2, 2)], "id int, val int")
+    source = spark.createDataFrame([(None, 10)], "id int, val int")
+    out = merge_into(target, source, on=["id"], when_matched_update="all")
+    assert _rows(out) == {(None, 10), (2, 2)}  # updated in place, not re-inserted
+
+
 def test_insert_casts_to_target_types(spark):
     target = spark.createDataFrame([(1, 10)], "id int, val bigint")
     source = spark.createDataFrame([(2, 20)], "id int, val int")

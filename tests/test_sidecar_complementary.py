@@ -262,6 +262,47 @@ def test_sidecar_bytes_roundtrip_matches_direct_parse(spark):
     assert kb == kd
 
 
+def test_poisoned_sidecar_quarantines_and_good_files_parse(spark, tmp_path):
+    """VERDICT r04 item 7 — F10 for enrichment: one poisoned sidecar (a
+    scanned/undecodable PDF) must route to the dead-letter channel as a
+    row with an error string while the healthy file parses normally and
+    the epoch commits; strict mode still raises."""
+    from jurisprudencia_privada_etl_spark.operators.dead_letter import dead_letter_epochs
+    from jurisprudencia_privada_etl_spark.operators.sidecar import (
+        encode_sidecar_pages,
+        parse_sidecar_files,
+        quarantine_sidecar_errors,
+    )
+
+    good = encode_sidecar_pages([[["Processo", "Relator"], ["77/2021", "Silva"]]])
+    # %PDF magic but no extractable text layer → pdftext raises
+    poison = b"%PDF-1.4\nnot a real pdf body"
+    files = spark.createDataFrame(
+        [("civel/a", 0, bytearray(good)), ("civel/b", 1, bytearray(poison))],
+        ["folder", "file_index", "data"],
+    )
+
+    # strict mode: the task fails (the pinned decode-boundary behavior)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        parse_sidecar_files(files).collect()
+
+    table = str(tmp_path / "tbl")
+    tagged = parse_sidecar_files(files, errors="quarantine")
+    ok, n_dead = quarantine_sidecar_errors(tagged, table, epoch=900)
+    assert n_dead == 1
+    ok_rows = ok.collect()
+    assert {r["folder"] for r in ok_rows} == {"civel/a"}
+    assert ok_rows[0]["cells"]["Processo"] == "77/2021"
+    # the channel is the same one the replay's F10 uses: enumerable,
+    # carries the error string, keyed by (folder, file_index)
+    assert dead_letter_epochs(table) == [900]
+    dead = spark.read.parquet(f"{table}/_dead_letter/epoch=900").collect()
+    assert dead[0]["folder"] == "civel/b" and dead[0]["file_index"] == 1
+    assert dead[0]["error"] and "Error" in dead[0]["error"]  # "<ExcType>: <msg>"
+
+
 def test_sidecar_pdf_roundtrip_matches_direct_parse(spark):
     """S5 real-PDF seam: the fixture grids written as an actual (Flate-
     compressed) grid PDF decode through the stdlib text-layer extractor on

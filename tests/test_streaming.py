@@ -187,3 +187,98 @@ def test_stream_replay_validation_dead_letters(spark, tmp_path):
     bl = bsink.load().select(*PAYLOAD).toPandas()
     sl = live[PAYLOAD]
     assert_state_equal(sl, bl)
+
+
+def test_stream_replay_rate_source_live_unbounded(spark, tmp_path):
+    """VERDICT r04 item 6 — streaming over a genuinely UNBOUNDED non-file
+    source: a rate stream mapped (pure JVM exprs) into Debezium envelopes
+    drives continuous micro-batches through the same merge path, with the
+    validation gate live (every 17th event ships a null path and must
+    dead-letter).  The query is stopped mid-flight; because rate delivers
+    the contiguous prefix 0..M and every committed batch's lineage counts
+    its events, M is recoverable from the sink's own manifests — the
+    converged state must equal the batch oracle over that exact prefix."""
+    import time as _time
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from jurisprudencia_privada_etl_spark.sources.debezium import parse_debezium
+
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 2000)
+        .load()
+    )
+    v = F.col("value")
+    op_c = (
+        F.when(v % 10 < 6, F.lit("c")).when(v % 10 < 9, F.lit("u")).otherwise(F.lit("d"))
+    )
+    path_c = F.when(v % 17 == 3, F.lit(None).cast("string")).otherwise(
+        F.concat(F.lit("p"), (v % 23).cast("string"))
+    )
+    img = F.struct(
+        F.concat(F.lit("r"), (v % 5).cast("string")).alias("repo"),
+        path_c.alias("path"),
+        F.concat(F.lit("h"), v.cast("string")).alias("commit"),
+        F.lit("py").alias("lang"),
+        F.concat(F.lit("c"), v.cast("string")).alias("content"),
+    )
+    envelope = F.to_json(
+        F.struct(
+            F.struct(
+                F.when(op_c == "d", img).alias("before"),
+                F.when(op_c != "d", img).alias("after"),
+                F.struct(
+                    F.lit(None).cast("long").alias("ts_ms"),
+                    v.alias("lsn"),
+                    F.lit("app").alias("db"),
+                    F.lit("repos").alias("table"),
+                ).alias("source"),
+                op_c.alias("op"),
+                F.lit(None).cast("long").alias("ts_ms"),
+            ).alias("payload")
+        )
+    ).alias("value")
+    src = parse_debezium(rate.select(envelope), events_per_epoch=10**9)
+
+    table = str(tmp_path / "t")
+    q = stream_replay(
+        spark, "", table, str(tmp_path / "ckpt"),
+        ReplayConfig(validate=True), source_df=src, available_now=False,
+    )
+    try:
+        deadline = _time.time() + 120
+        while _time.time() < deadline and len(stream_metrics(spark, table)) < 3:
+            _time.sleep(1)
+        assert len(stream_metrics(spark, table)) >= 3, "no continuous micro-batches"
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    metrics = stream_metrics(spark, table)
+    applied = sum(
+        p["events"] for m in metrics for p in (m.get("partitions") or [])
+    )
+    dead_total = sum(int(m.get("dead_letter_rows") or 0) for m in metrics)
+    total = applied + dead_total
+    assert total > 0
+    m_max = total - 1  # contiguous prefix 0..M
+
+    # batch oracle over the same deterministic mapping of 0..M
+    vals = pd.DataFrame({"v": range(total)})
+    vals["repo"] = "r" + (vals.v % 5).astype(str)
+    vals["path"] = "p" + (vals.v % 23).astype(str)
+    vals["commit"] = "h" + vals.v.astype(str)
+    vals["lang"] = "py"
+    vals["content"] = "c" + vals.v.astype(str)
+    vals["ordinal"] = vals.v
+    d = vals.v % 10
+    vals["op"] = "I"
+    vals.loc[(d >= 6) & (d < 9), "op"] = "U"
+    vals.loc[d >= 9, "op"] = "D"
+    invalid = (vals.v % 17) == 3
+    assert dead_total == int(invalid.sum()), "validation gate missed null-path rows"
+    got = HadoopParquetSink(spark, table).load().select(*PAYLOAD).toPandas()
+    assert_state_equal(got, oracle_reduce(vals[~invalid].drop(columns=["v"])))
+    assert m_max >= 0
