@@ -295,6 +295,13 @@ def _render(n_events: int, pair_rounds: list) -> str:
                 f"* round {i} {label}: full={[round(s, 1) for s in pair[k]['full_sec']]} "
                 f"executors={len(pair[k]['executors']) - 1}"
             )
+    # hand-maintained trust/forensics annotation survives re-renders: kept
+    # in its own file and appended verbatim (the round-4 hand section was
+    # silently clobbered by an auto-render — never inline hand text here)
+    notes = os.path.join(REPO, "BENCH", "cluster_scaling_trust.md")
+    if os.path.exists(notes):
+        with open(notes) as f:
+            lines += ["", f.read().rstrip(), ""]
     lines += [
         "",
         "Caveats: one host, one memory system — 4 executor JVMs here still",
