@@ -187,7 +187,7 @@ ROUNDS_JSON = os.path.join(REPO, "BENCH", "cluster_rounds.json")
 CONFIG_TAG = "n_salts=0,files_per_bucket=2,n_buckets=128,io_codec=zstd,local-cluster"
 
 
-def _render(n_events: int, pair_rounds: list) -> str:
+def _render(n_events: int, pair_rounds: list, suffix: str = "") -> str:
     lines = [
         "# BENCH/cluster_scaling — N vs 4N separate executor JVMs",
         "",
@@ -298,7 +298,7 @@ def _render(n_events: int, pair_rounds: list) -> str:
     # hand-maintained trust/forensics annotation survives re-renders: kept
     # in its own file and appended verbatim (the round-4 hand section was
     # silently clobbered by an auto-render — never inline hand text here)
-    notes = os.path.join(REPO, "BENCH", "cluster_scaling_trust.md")
+    notes = os.path.join(REPO, "BENCH", f"cluster_scaling_trust{suffix}.md")
     if os.path.exists(notes):
         with open(notes) as f:
             lines += ["", f.read().rstrip(), ""]
@@ -333,7 +333,7 @@ def main() -> None:
             prev = json.load(f)
         md = os.path.join(REPO, "BENCH", md_name)
         with open(md, "w") as f:
-            f.write(_render(prev["n_events"], prev["pair_rounds"]))
+            f.write(_render(prev["n_events"], prev["pair_rounds"], suffix))
         print(f"wrote {md}")
         return
 
@@ -385,7 +385,7 @@ def main() -> None:
                            "pair_rounds": pair_rounds}, f, indent=1)
             md = os.path.join(REPO, "BENCH", md_name)
             with open(md, "w") as f:
-                f.write(_render(n_events, pair_rounds))
+                f.write(_render(n_events, pair_rounds, suffix))
             print(f"wrote {md}", flush=True)
     finally:
         shutil.rmtree(wd, ignore_errors=True)
