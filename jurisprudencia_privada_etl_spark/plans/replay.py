@@ -327,7 +327,8 @@ def replay(
 
 
 def _pipelined_epochs(
-    spark, sink, cfg, pending: list[int], batch_of, stats_path: str | None = None
+    spark, sink, cfg, pending: list[int], batch_of, stats_path: str | None = None,
+    epoch_stats: dict | None = None,
 ) -> None:
     """Run epochs with the NEXT epoch's key_stats scan prefetched on a
     background thread while the current epoch's merge write executes.  The
@@ -350,6 +351,8 @@ def _pipelined_epochs(
     n_buckets = sink.manifest().n_buckets
 
     def stats_of(e: int):
+        if epoch_stats is not None and not cfg.validate and e in epoch_stats:
+            return epoch_stats[e]
         if stats_path is not None and not cfg.validate:
             from jurisprudencia_privada_etl_spark.sources.changelog import read_epoch_stats
 
@@ -398,11 +401,19 @@ def replay_dataframe(
     )
     if not sink.exists():
         sink.create(TableSchema.from_struct(TARGET_SCHEMA))
-    epochs = sorted(r["epoch"] for r in changelog.select("epoch").distinct().collect())
+    # ONE scan of the frame plans the whole replay: the grouped stats job
+    # yields the distinct epoch list AND every epoch's touched buckets +
+    # lineage, replacing a distinct-epochs job plus one (thread-prefetched
+    # but still paid) stats scan per epoch (guide §2.4).  A validating
+    # replay must exclude dead-lettered rows from lineage, so it keeps the
+    # per-epoch stats path and only reuses the epoch list here.
+    epoch_stats = sink.key_stats_by_epoch(changelog, n_buckets=sink.manifest().n_buckets)
+    epochs = sorted(epoch_stats)
     last = sink.last_committed_epoch()
     _pipelined_epochs(
         spark, sink, cfg,
         [e for e in epochs if e > last],
         lambda e: changelog.where(F.col("epoch") == e),
+        epoch_stats=epoch_stats,
     )
     return sink

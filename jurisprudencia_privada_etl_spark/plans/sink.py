@@ -646,6 +646,54 @@ class HadoopParquetSink:
         ]
         return touched, lineage
 
+    def key_stats_by_epoch(
+        self, batch: DataFrame, n_buckets: int | None = None
+    ) -> dict[int, tuple[list[int], list[dict[str, Any]]]]:
+        """``key_stats`` for EVERY epoch of an in-memory changelog in ONE
+        aggregation job: groupBy (epoch, scan partition, bucket) instead of
+        one filtered scan per epoch.  The result also carries the distinct
+        epoch list for free, so ``replay_dataframe`` plans a whole replay
+        from a single pass over the frame (guide §2.4 — shared scan) where
+        it previously ran a distinct-epochs job plus one stats job per
+        epoch.  Lineage partition ids are the unfiltered scan's; per-epoch
+        event/byte totals are identical to the per-epoch form (the unit of
+        lineage is "input split", which tests pin by totals only)."""
+        if "_content_bytes" in batch.columns:
+            bytes_expr = F.col("_content_bytes")
+        elif "content" in batch.columns:
+            bytes_expr = F.octet_length("content")
+        else:
+            bytes_expr = F.lit(0)
+        nb = n_buckets if n_buckets is not None else self.manifest().n_buckets
+        stats = (
+            batch.groupBy(
+                F.col("epoch").alias("e"),
+                F.spark_partition_id().alias("p"),
+                bucket_of(nb).alias("b"),
+            )
+            .agg(F.count("*").alias("n"), F.sum(bytes_expr).alias("bytes"))
+            .collect()
+        )
+        out: dict[int, tuple[list[int], list[dict[str, Any]]]] = {}
+        by_epoch: dict[int, list] = {}
+        for r in stats:
+            by_epoch.setdefault(r["e"], []).append(r)
+        for e, rows in by_epoch.items():
+            touched = sorted({r["b"] for r in rows})
+            part_agg: dict[int, list[int]] = {}
+            for r in rows:
+                acc = part_agg.setdefault(r["p"], [0, 0])
+                acc[0] += r["n"]
+                acc[1] += r["bytes"] or 0
+            out[e] = (
+                touched,
+                [
+                    {"partition": p, "events": n, "bytes": b}
+                    for p, (n, b) in sorted(part_agg.items())
+                ],
+            )
+        return out
+
     def _merge_join(self, target: DataFrame, u: DataFrame, payload: list[str]) -> DataFrame:
         """MERGE as a full-outer join (the textbook emulation)."""
         extras = [n for n, _ in BOOKKEEPING]
@@ -1176,32 +1224,47 @@ class HadoopParquetSink:
         # current resolved state of the touched buckets, keys+bookkeeping
         # only (columns=[] prunes the payload before any delta-resolution
         # window).  Observation counts the target rows flowing into the
-        # join so `kept` needs no second scan.
-        obs_t = Observation(f"mor_target_{epoch}")
-        target = (
-            self.load(buckets=touched, include_tombstones=True, columns=[])
-            .observe(obs_t, F.count(F.lit(1)).alias("rows"))
-            .select(
-                *[F.col(k).alias(f"t_{k}") for k in KEY_COLUMNS],
-                F.col("ordinal").alias("t_ordinal"),
-                F.col("deleted").alias("t_deleted"),
+        # join so `kept` needs no second scan.  Empty-table fast path: the
+        # initial bulk-load epoch has no target rows at all, so the
+        # classification join (and its target scan job) is skipped outright
+        # — every deduped row is a first write (guide §2.4: remove the
+        # shuffle, not just shrink it).
+        obs_t = None
+        if not m.buckets:
+            is_del = F.coalesce(F.col("deleted"), F.lit(False))
+            delta_raw = u.select(
+                *u.columns,
+                F.when(is_del, F.lit("tombstone_noop"))
+                .otherwise(F.lit("created"))
+                .alias("_action"),
+                F.lit(0).alias("_matched"),
             )
-        )
-        cond = [F.col(k).eqNullSafe(F.col(f"t_{k}")) for k in KEY_COLUMNS]
-        j = u.join(target, cond, "left")
-        t_present = F.col("t_ordinal").isNotNull()
-        t_live = t_present & ~F.coalesce(F.col("t_deleted"), F.lit(False))
-        wins = ~t_present | (F.col("ordinal") > F.col("t_ordinal"))
-        is_del = F.coalesce(F.col("deleted"), F.lit(False))
-        action = (
-            F.when(is_del & t_live, F.lit("deleted"))
-            .when(is_del, F.lit("tombstone_noop"))
-            .when(t_live, F.lit("updated"))
-            .otherwise(F.lit("created"))
-        )
-        delta_raw = j.where(wins).select(
-            *u.columns, action.alias("_action"), t_present.cast("int").alias("_matched")
-        )
+        else:
+            obs_t = Observation(f"mor_target_{epoch}")
+            target = (
+                self.load(buckets=touched, include_tombstones=True, columns=[])
+                .observe(obs_t, F.count(F.lit(1)).alias("rows"))
+                .select(
+                    *[F.col(k).alias(f"t_{k}") for k in KEY_COLUMNS],
+                    F.col("ordinal").alias("t_ordinal"),
+                    F.col("deleted").alias("t_deleted"),
+                )
+            )
+            cond = [F.col(k).eqNullSafe(F.col(f"t_{k}")) for k in KEY_COLUMNS]
+            j = u.join(target, cond, "left")
+            t_present = F.col("t_ordinal").isNotNull()
+            t_live = t_present & ~F.coalesce(F.col("t_deleted"), F.lit(False))
+            wins = ~t_present | (F.col("ordinal") > F.col("t_ordinal"))
+            is_del = F.coalesce(F.col("deleted"), F.lit(False))
+            action = (
+                F.when(is_del & t_live, F.lit("deleted"))
+                .when(is_del, F.lit("tombstone_noop"))
+                .when(t_live, F.lit("updated"))
+                .otherwise(F.lit("created"))
+            )
+            delta_raw = j.where(wins).select(
+                *u.columns, action.alias("_action"), t_present.cast("int").alias("_matched")
+            )
 
         obs = Observation(f"mor_epoch_{epoch}")
         out = delta_raw.observe(
@@ -1223,7 +1286,7 @@ class HadoopParquetSink:
         t = _trace("mor delta write", t)
         try:
             counts = obs.get
-            t_rows = obs_t.get["rows"]
+            t_rows = obs_t.get["rows"] if obs_t is not None else 0
         except Exception:
             # empty-delta plan collapse (every event stale): the
             # CollectMetrics nodes never execute — recompute both with
@@ -1233,9 +1296,11 @@ class HadoopParquetSink:
                 for r in delta_raw.groupBy("_action").agg(F.count("*").alias("n")).collect()
             }
             counts["matched_wins"] = delta_raw.where(F.col("_matched") == 1).count()
-            t_rows = self.load(
-                buckets=touched, include_tombstones=True, columns=[]
-            ).count()
+            t_rows = (
+                self.load(buckets=touched, include_tombstones=True, columns=[]).count()
+                if obs_t is not None
+                else 0
+            )
 
         live_buckets = {
             int(name.split("=", 1)[1])

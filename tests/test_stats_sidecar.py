@@ -141,3 +141,23 @@ def test_validating_replay_ignores_sidecar_lineage(spark, tmp_path):
     m = sink.manifest()
     assert sum(p["events"] for p in m.metrics["partitions"]) == 600
     assert m.metrics.get("dead_letter_rows") == 1
+
+
+def test_key_stats_by_epoch_matches_per_epoch_scan(spark, clog):
+    """The one-pass grouped stats (replay_dataframe's planning scan) must
+    agree with the per-epoch key_stats form: identical touched-bucket sets
+    and identical lineage event/byte totals per epoch (split granularity is
+    the lineage unit, pinned by totals as elsewhere in this file)."""
+    sink = HadoopParquetSink(spark, "/nonexistent", n_buckets=32)
+    frame = spark.read.parquet(clog)
+    grouped = sink.key_stats_by_epoch(frame, n_buckets=32)
+    epochs = sorted(r["epoch"] for r in frame.select("epoch").distinct().collect())
+    assert sorted(grouped) == epochs
+    for epoch in epochs:
+        touched, lineage = sink.key_stats(
+            frame.where(F.col("epoch") == epoch), n_buckets=32
+        )
+        g_touched, g_lineage = grouped[epoch]
+        assert g_touched == touched
+        assert sum(r["events"] for r in g_lineage) == sum(r["events"] for r in lineage)
+        assert sum(r["bytes"] for r in g_lineage) == sum(r["bytes"] for r in lineage)
