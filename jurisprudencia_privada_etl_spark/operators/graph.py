@@ -45,6 +45,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 __all__ = ["connected_components", "attach_components"]
 
@@ -55,6 +56,7 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 25,
     algorithm: str = "star",
+    local_threshold: int = 100_000,
 ) -> DataFrame:
     """Label every node appearing in ``edges`` with the MINIMUM node id of
     its connected component (undirected; direction of input pairs is
@@ -70,9 +72,23 @@ def connected_components(
 
     Raises ``RuntimeError`` if ``max_iter`` rounds pass without
     convergence.
+
+    ``local_threshold``: when the deduplicated edge set is at most this
+    many edges (known for free from the initial materialization's
+    checksum), the components are finished with a driver-side union-find
+    over the already-checkpointed edges instead of the distributed loop —
+    the standard "finish small graphs on one machine" tail step (Kiveris
+    et al. §5 run their last rounds on a single reducer for the same
+    reason).  100k edges is ~1.6 MB on the driver, broadcast-build scale;
+    the iterative loop at that size is pure scheduling overhead (2+ jobs
+    per round).  ``0`` disables the fast path.  Output is bit-identical:
+    min-id labeling is algorithm-independent (property-tested).
     """
     if algorithm == "star":
-        labels, _ = _star_contraction(edges, src=src, dst=dst, max_rounds=max_iter)
+        labels, _ = _star_contraction(
+            edges, src=src, dst=dst, max_rounds=max_iter,
+            local_threshold=local_threshold,
+        )
         return labels
     if algorithm != "propagation":
         raise ValueError(f"unknown algorithm {algorithm!r}: use 'star' or 'propagation'")
@@ -140,11 +156,56 @@ def _edge_checksum(edges: DataFrame) -> tuple:
     return (row["n"], row["h"])
 
 
+def _unpersist_checkpoint(df: DataFrame) -> None:
+    """Free a ``localCheckpoint`` frame's blocks (ADVICE r05: the loop used
+    to leak up to ``max_rounds`` edge-set copies in the block manager).
+    Only call when NOTHING will read the frame again — a checkpointed RDD
+    cannot recompute.  Best-effort: the handle is the LogicalRDD's backing
+    RDD, reached through the JVM plan."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
+def _union_find_local(rows) -> list[tuple]:
+    """Driver-side min-label components over a collected edge list.
+
+    Path-halving union-find; a second pass maps every component to its
+    minimum member id, so the labeling is identical to the distributed
+    algorithms'.  Bounded by ``local_threshold`` edges (caller-enforced)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in rows:
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[rv] = ru
+    comp_min: dict = {}
+    for n in parent:
+        r = find(n)
+        if r not in comp_min or n < comp_min[r]:
+            comp_min[r] = n
+    return [(n, comp_min[find(n)]) for n in parent]
+
+
 def _star_contraction(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 25,
+    local_threshold: int = 100_000,
 ) -> tuple:
     """Alternating large-star / small-star contraction (Kiveris et al.,
     SoCC'14 §3).  Returns ``(labels_df, rounds_used)`` where labels_df is
@@ -175,32 +236,66 @@ def _star_contraction(
     edges (≤ one per non-root node once contraction kicks in), so the
     checkpoint cost shrinks as the loop proceeds.
     """
+    from pyspark.sql import Observation
+
+    def _chk_exprs():
+        # same fingerprint as _edge_checksum, riding the checkpoint job as
+        # an Observation instead of a separate aggregation job per round
+        return (
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        )
+
+    obs0 = Observation("cc_init")
     cur = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
+        .observe(obs0, *_chk_exprs())
         .localCheckpoint(eager=True)
     )
-    prev_sum = _edge_checksum(cur)
+    init = obs0.get
+    prev_sum = (init["n"], init["h"])
+
+    if local_threshold and init["n"] <= local_threshold:
+        # the edge set is driver-sized: finish with union-find over the
+        # checkpointed edges (one collect of ≤ local_threshold pairs) —
+        # see connected_components docstring.
+        node_type = cur.schema["u"].dataType
+        labels = _union_find_local([(r["u"], r["v"]) for r in cur.collect()])
+        out_schema = T.StructType(
+            [
+                T.StructField("node", node_type, True),
+                T.StructField("component", node_type, True),
+            ]
+        )
+        out = cur.sparkSession.createDataFrame(labels, out_schema)
+        _unpersist_checkpoint(cur)
+        return out, 0
+
     for rounds in range(1, max_rounds + 1):
         # large-star: symmetrize, find m = min(N(u) ∪ {u}), attach v>u to m
         adj = cur.unionByName(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
         mins = adj.groupBy("u").agg(F.min("v").alias("mn")).select(
             "u", F.least("u", "mn").alias("m")
         )
+        # NOT checkpointed: the small-star step consumes it inside the same
+        # job, so chaining LS+SS halves the per-round job count; lineage
+        # stays bounded because ``cur`` below is checkpointed every round.
         ls_frame = (
             adj.join(mins, "u")
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
         )
         # small-star: orient (big, small), m = min(N(u)), attach N(u) ∪ {u} to m
         oriented = ls_frame.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
         mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        obs = Observation(f"cc_round_{rounds}")
+        prev_cur = cur
         cur = (
             oriented.join(mins, "u")
             .select(
@@ -214,21 +309,28 @@ def _star_contraction(
             .select("e.u", "e.v")
             .where(F.col("u") != F.col("v"))
             .distinct()
+            .observe(obs, *_chk_exprs())
             .localCheckpoint(eager=True)
         )
-        cur_sum = _edge_checksum(cur)
+        row = obs.get
+        cur_sum = (row["n"], row["h"])
         # Converged iff a fixed point of BOTH steps (Kiveris et al. Lemma:
         # that is exactly "disjoint stars rooted at component minima") —
         # stability of the composition alone could mask an LS↔SS cycle.
         # The LS checksum only matters when the SS one already matches, so
-        # it's computed lazily (a cheap scan — ls_frame is checkpointed).
+        # it runs as one extra job at the convergence round only (ls_frame
+        # recomputes from the still-persisted previous checkpoint).
         if cur_sum == prev_sum and _edge_checksum(ls_frame) == prev_sum:
             # stable star forest: every edge is (node, component-min)
             labels = cur.select(F.col("u").alias("node"), F.col("v").alias("component"))
             roots = cur.select(F.col("v").alias("node")).distinct().withColumn(
                 "component", F.col("node")
             )
+            _unpersist_checkpoint(prev_cur)
             return labels.unionByName(roots).distinct(), rounds
+        # the new checkpoint is materialized and this round's convergence
+        # test is decided — the previous round's blocks are dead
+        _unpersist_checkpoint(prev_cur)
         prev_sum = cur_sum
     raise RuntimeError(
         f"star contraction did not converge in {max_rounds} rounds — "

@@ -49,7 +49,7 @@ def test_self_loops_and_duplicate_edges(spark):
 
 def test_nonconvergence_raises(spark):
     with pytest.raises(RuntimeError, match="did not converge"):
-        _cc(spark, [(i, i + 1) for i in range(1, 9)], max_iter=1)
+        _cc(spark, [(i, i + 1) for i in range(1, 9)], max_iter=1, local_threshold=0)
 
 
 def test_star_equals_propagation_on_seeded_graphs(spark):
@@ -71,8 +71,10 @@ def test_star_equals_propagation_on_seeded_graphs(spark):
         edges += [(e[1], e[0]) for e in edges[: len(edges) // 3]]  # reversed dups
         edges += [(5, 5)]  # self loop
         prop = _cc(spark, edges, algorithm="propagation", max_iter=200)
-        star = _cc(spark, edges, algorithm="star", max_iter=200)
+        star = _cc(spark, edges, algorithm="star", max_iter=200, local_threshold=0)
+        local = _cc(spark, edges, algorithm="star", max_iter=200)  # small-graph union-find path
         assert star == prop, f"trial {trial}: star != propagation"
+        assert local == prop, f"trial {trial}: local union-find != propagation"
 
 
 def test_star_converges_in_log_rounds_on_path_graph(spark):
@@ -82,7 +84,7 @@ def test_star_converges_in_log_rounds_on_path_graph(spark):
     star contraction gets ≤ 12 (2·log2(256) + slack)."""
     n = 256
     edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "src long, dst long")
-    labels, rounds = _star_contraction(edges, max_rounds=20)
+    labels, rounds = _star_contraction(edges, max_rounds=20, local_threshold=0)
     assert rounds <= 12, f"contraction took {rounds} rounds on a {n}-path"
     got = {r["node"]: r["component"] for r in labels.collect()}
     assert got == {i: 0 for i in range(n)}
