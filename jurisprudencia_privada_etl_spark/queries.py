@@ -19,6 +19,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from jurisprudencia_privada_etl_spark.tables import read_table
+
 from jurisprudencia_privada_etl_spark.functions.hashing import canonical_hash, deterministic_uuid
 from jurisprudencia_privada_etl_spark.functions.paths import date_from_path, first_match_map
 from jurisprudencia_privada_etl_spark.functions.text import faceted_triple
@@ -53,7 +55,7 @@ from jurisprudencia_privada_etl_spark.operators.similarity import (
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return read_table(spark, sf_dir, name)
 
 
 # ---------------------------------------------------------------------------

@@ -36,12 +36,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from jurisprudencia_privada_etl_spark.tables import read_table
+
 from jurisprudencia_privada_etl_spark.operators.lww import lww_dedup
 from jurisprudencia_privada_etl_spark.operators.temporal import interval_join
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return read_table(spark, sf_dir, name)
 
 
 # ---------------------------------------------------------------------------
