@@ -171,13 +171,28 @@ def _decode_kernel(data: bytes, media_type: str, mode: str) -> np.ndarray:
     return np.frombuffer(h[: FEATURE_DIM * 2], dtype=np.uint16).astype(np.float32) / 65535.0
 
 
-def extract_features(df: DataFrame, decode_stub_mode: str = "auto") -> DataFrame:
+def extract_features(
+    df: DataFrame, decode_stub_mode: str = "auto", passthrough: list[str] | None = None
+) -> DataFrame:
     """Decode + featurize each asset — one Arrow batch at a time.
 
     Partitioning note: assets are large blobs; upstream should
     ``repartition`` by asset_id so batches hold a bounded byte volume
     (maxRecordsPerBatch also caps Arrow batch size).
+
+    ``passthrough`` names extra input columns copied verbatim onto the
+    output rows.  A caller that needs both features AND another
+    data-derived column used to self-join two branches of the asset
+    subtree — re-decoding (or re-generating) every payload and shuffling
+    on the join key; carrying the column through the same Arrow batch
+    reads the bytes exactly once and removes the join (guide §8: decide
+    with one pass over the heavy rows).
     """
+    extra = list(passthrough or [])
+    out_schema = T.StructType(
+        list(FEATURES_SCHEMA.fields)
+        + [df.schema[c] for c in extra]
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -187,19 +202,20 @@ def extract_features(df: DataFrame, decode_stub_mode: str = "auto") -> DataFrame
                 _decode_kernel(d, m, decode_stub_mode)
                 for d, m in zip(pdf["data"], pdf["media_type"])
             ]
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf["asset_id"],
-                    "media_type": pdf["media_type"],
-                    "n_bytes": pdf["data"].map(lambda b: len(b) if b is not None else 0).astype("int32"),
-                    "content_sha": pdf["data"].map(
-                        lambda b: hashlib.sha256(b or b"").hexdigest()
-                    ),
-                    "features": feats,
-                }
-            )
+            out = {
+                "asset_id": pdf["asset_id"],
+                "media_type": pdf["media_type"],
+                "n_bytes": pdf["data"].map(lambda b: len(b) if b is not None else 0).astype("int32"),
+                "content_sha": pdf["data"].map(
+                    lambda b: hashlib.sha256(b or b"").hexdigest()
+                ),
+                "features": feats,
+            }
+            for c in extra:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    return df.mapInPandas(run, schema=FEATURES_SCHEMA)
+    return df.mapInPandas(run, schema=out_schema)
 
 
 def resize_images(df: DataFrame, width: int, height: int, decode_stub_mode: str = "auto") -> DataFrame:

@@ -1453,14 +1453,16 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     sha256(BLOB) overload).  The oracle reconstructs the exact payload hex
     from the canonical header literals + the sha256 content chain.  Decoded
     feature VALUES stay pinned by pytest (they are codec outputs, not SQL)."""
-    assets = synthetic_assets(spark, 200, seed=42)
-    feats = extract_features(assets)
-    pay = assets.select(
-        "asset_id", F.sha2(F.lower(F.hex(F.col("data"))), 256).alias("payload_sha")
+    # payload_sha is derived JVM-side on the SAME pass as the decode and
+    # carried through the Arrow stage (passthrough) — the former
+    # feats⋈pay self-join re-generated every asset payload on the second
+    # branch and shuffled on asset_id for a frame that is one row per
+    # input row anyway (guide §8: one pass over the heavy bytes).
+    assets = synthetic_assets(spark, 200, seed=42).withColumn(
+        "payload_sha", F.sha2(F.lower(F.hex(F.col("data"))), 256)
     )
-    return feats.join(pay, "asset_id").select(
-        "asset_id", "media_type", "n_bytes", "payload_sha"
-    )
+    feats = extract_features(assets, passthrough=["payload_sha"])
+    return feats.select("asset_id", "media_type", "n_bytes", "payload_sha")
 
 
 def _multimodal_oracle_sql(n: int = 200, seed: int = 42) -> str:

@@ -597,3 +597,30 @@ def test_dead_letter_requires_keys_in_out_fields(spark):
     df = spark.createDataFrame([("r1", "a.py", "x")], ["repo", "path", "content"])
     with pytest.raises(ValueError, match="key columns"):
         dead_letter_map_in_pandas(df, lambda p: p, [T.StructField("content", T.StringType())])
+
+
+def test_extract_features_passthrough_column(spark):
+    """`passthrough` columns ride the Arrow batch verbatim next to the
+    decoded features — row-for-row equal to the join the option replaces."""
+    from jurisprudencia_privada_etl_spark.operators.multimodal import (
+        extract_features,
+        synthetic_assets,
+    )
+
+    assets = synthetic_assets(spark, 12, seed=7).withColumn(
+        "tag", F.sha2(F.lower(F.hex(F.col("data"))), 256)
+    )
+    through = {
+        r["asset_id"]: r["tag"]
+        for r in extract_features(assets, passthrough=["tag"]).select(
+            "asset_id", "tag"
+        ).collect()
+    }
+    joined = {
+        r["asset_id"]: r["tag"]
+        for r in extract_features(assets)
+        .join(assets.select("asset_id", "tag"), "asset_id")
+        .select("asset_id", "tag")
+        .collect()
+    }
+    assert through == joined and len(through) == 12
