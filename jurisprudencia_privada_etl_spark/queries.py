@@ -58,6 +58,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+def _t_fan(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read + size-gated fan-out (tables.fan_out_small_scan) for the
+    expression-heavy MAP queries (hash chains, regex scrubbing, JSON
+    serde, pandas UDFs): a sub-split input is one scan task, so the whole
+    pipeline would otherwise run on one core.  No-op above the 32 MB gate
+    — at production scale the scan already splits and no shuffle is
+    added."""
+    from jurisprudencia_privada_etl_spark.tables import fan_out_small_scan, table_bytes
+
+    return fan_out_small_scan(
+        spark, read_table(spark, sf_dir, name), table_bytes(sf_dir, name)
+    )
+
+
 # ---------------------------------------------------------------------------
 # derived changelog: events → (epoch, ordinal, op, repo, path, commit, lang, content)
 # ---------------------------------------------------------------------------
@@ -881,7 +895,7 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X13: explicit from_json with a declared schema + to_json re-serialize
     (the reference's JSON boundaries: sharepoint.ts:564-569, 712-716;
     pdf_parser.py:54)."""
-    e = _t(spark, sf_dir, "events")
+    e = _t_fan(spark, sf_dir, "events")
     k = F.from_json(F.col("props"), "k INT").getField("k")
     return e.select(
         "event_id",
@@ -1183,7 +1197,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint itself cross-engine reproducible.  The xxhash64 polynomial
     variant (doc_fingerprint) remains the fast engine-internal path used by
     the extraction stage."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t_fan(spark, sf_dir, "documents")
     return d.select("doc_id", doc_fingerprint_md5("text").alias("fingerprint"))
 
 
@@ -1206,7 +1220,7 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the PHONE rule first, identically on both engines."""
     from jurisprudencia_privada_etl_spark.operators.redact import redact, redaction_counts
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t_fan(spark, sf_dir, "documents")
     did = F.col("doc_id")
     pii = F.concat(
         F.col("text"),
@@ -1506,21 +1520,23 @@ def q_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     state (operators/change_feed.diff_states — the Delta-CDF-shaped feed).
     The oracle recomputes both LWW states and classifies via a full outer
     join, so insert/delete/update_pre/postimage semantics are all checked."""
-    from jurisprudencia_privada_etl_spark.operators.change_feed import diff_states
+    from jurisprudencia_privada_etl_spark.operators.change_feed import lww_prefix_diff
 
+    # both LWW states and their diff from ONE keyed aggregation (see
+    # lww_prefix_diff): the two-scan/two-window/full-outer-join form this
+    # replaces is property-identical (diff_states semantics over the same
+    # projected payload).
     log = derived_changelog(spark, sf_dir)
-    cols = ["repo", "path", "ordinal", "content_sha"]
-
-    def state(df):
-        live = lww_dedup(df, ["repo", "path"], "ordinal").where(F.col("op") != "D")
-        return live.select(
-            "repo", "path", "ordinal", F.sha2(F.col("content"), 256).alias("content_sha")
-        )
-
-    old = state(log.where(F.col("epoch") <= 2))
-    new = state(log)
-    return diff_states(old, new, ["repo", "path"]).select(
-        *cols, F.col("_change_type").alias("change_type")
+    _old, _new, feed = lww_prefix_diff(
+        log, ["repo", "path"], "ordinal", F.col("epoch") <= 2,
+        lambda get: [
+            get("ordinal").alias("ordinal"),
+            F.sha2(get("content"), 256).alias("content_sha"),
+        ],
+    )
+    return feed.select(
+        "repo", "path", "ordinal", "content_sha",
+        F.col("_change_type").alias("change_type"),
     )
 
 
@@ -1565,8 +1581,13 @@ def q_debezium_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic function of it), so op mapping, delete-image selection,
     lsn ordering and epoch derivation are all value-checked."""
     from jurisprudencia_privada_etl_spark.sources.debezium import parse_debezium
+    from jurisprudencia_privada_etl_spark.tables import fan_out_small_scan, table_bytes
 
-    log = derived_changelog(spark, sf_dir)
+    # double JSON serde is pure map work; fan a sub-split events scan out
+    # across cores (size-gated no-op at scale — see tables.fan_out_small_scan)
+    log = fan_out_small_scan(
+        spark, derived_changelog(spark, sf_dir), table_bytes(sf_dir, "events")
+    )
     row = F.struct("repo", "path", "commit", "lang", "content")
     payload = F.struct(
         F.when(F.col("op") == "D", row).alias("before"),
@@ -1976,19 +1997,27 @@ FROM s JOIN e USING (l_returnflag)
 # ---------------------------------------------------------------------------
 
 def _mview_states(spark: SparkSession, sf_dir: str):
-    """(prefix state, final state) of the derived changelog, projected to the
-    view inputs.  ``lang`` is PAYLOAD (an update can move a key between
-    groups — the group-migration case both refresh paths must handle)."""
-    log = derived_changelog(spark, sf_dir)
+    """(prefix state, final state, feed) of the derived changelog, projected
+    to the view inputs, all from ONE keyed aggregation (lww_prefix_diff —
+    the former per-state window scans and the diff's full-outer join share
+    a single exchange).  ``lang`` is PAYLOAD (an update can move a key
+    between groups — the group-migration case both refresh paths must
+    handle).  ``content_len`` is projected BEFORE the aggregation so the
+    shuffle never carries content bytes (guide §2.3)."""
+    from jurisprudencia_privada_etl_spark.operators.change_feed import lww_prefix_diff
 
-    def state(df):
-        live = lww_dedup(df, ["repo", "path"], "ordinal").where(F.col("op") != "D")
-        return live.select(
-            "repo", "path", "ordinal", "lang",
-            F.length("content").cast("long").alias("content_len"),
-        )
-
-    return state(log.where(F.col("epoch") < 3)), state(log)
+    log = derived_changelog(spark, sf_dir).select(
+        "repo", "path", "ordinal", "op", "epoch", "lang",
+        F.length("content").cast("long").alias("content_len"),
+    )
+    return lww_prefix_diff(
+        log, ["repo", "path"], "ordinal", F.col("epoch") < 3,
+        lambda get: [
+            get("ordinal").alias("ordinal"),
+            get("lang").alias("lang"),
+            get("content_len").alias("content_len"),
+        ],
+    )
 
 
 MVIEW_STATES_SQL = f"""
@@ -2010,7 +2039,6 @@ def q_mview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/mview.py).  The oracle is a straight GROUP BY over the FINAL
     state only: incremental maintenance must be indistinguishable from
     recompute, including dropped empty groups and NULL-sum restoration."""
-    from jurisprudencia_privada_etl_spark.operators.change_feed import diff_states
     from jurisprudencia_privada_etl_spark.operators.mview import (
         aggregate_view,
         apply_delta,
@@ -2018,14 +2046,13 @@ def q_mview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         public_columns,
     )
 
-    old, new = _mview_states(spark, sf_dir)
+    old, _new, feed = _mview_states(spark, sf_dir)
     specs = [
         ("n_paths", "count", None),
         ("sum_ordinal", "sum", "ordinal"),
         ("sum_content_len", "sum", "content_len"),
     ]
     view0 = aggregate_view(old, ["lang", "repo"], specs)
-    feed = diff_states(old, new, ["repo", "path"])
     view1 = apply_delta(
         view0, delta_from_feed(feed, ["lang", "repo"], specs), ["lang", "repo"], specs
     )
@@ -2047,21 +2074,19 @@ def q_mview_minmax_rescan(spark: SparkSession, sf_dir: str) -> DataFrame:
     view refreshes by recomputing ONLY the groups the feed touched and
     passing untouched groups through from the stored view
     (operators/mview.refresh_groups).  Same recompute-parity oracle."""
-    from jurisprudencia_privada_etl_spark.operators.change_feed import diff_states
     from jurisprudencia_privada_etl_spark.operators.mview import (
         aggregate_view,
         public_columns,
         refresh_groups,
     )
 
-    old, new = _mview_states(spark, sf_dir)
+    old, new, feed = _mview_states(spark, sf_dir)
     specs = [
         ("n_paths", "count", None),
         ("min_ordinal", "min", "ordinal"),
         ("max_content_len", "max", "content_len"),
     ]
     view0 = aggregate_view(old, ["lang", "repo"], specs)
-    feed = diff_states(old, new, ["repo", "path"])
     view1 = refresh_groups(view0, feed, new, ["lang", "repo"], specs)
     return view1.select(*public_columns(["lang", "repo"], specs))
 
@@ -2080,14 +2105,15 @@ FROM state GROUP BY lang, repo
 # ---------------------------------------------------------------------------
 
 def _index_states(spark: SparkSession, sf_dir: str):
-    """(prefix state, final state) carrying the raw text for tokenization."""
+    """(prefix state, final state, feed) carrying the raw text for
+    tokenization — one keyed aggregation for all three (lww_prefix_diff)."""
+    from jurisprudencia_privada_etl_spark.operators.change_feed import lww_prefix_diff
+
     log = derived_changelog(spark, sf_dir)
-
-    def state(df):
-        live = lww_dedup(df, ["repo", "path"], "ordinal").where(F.col("op") != "D")
-        return live.select("repo", "path", "ordinal", "content")
-
-    return state(log.where(F.col("epoch") < 3)), state(log)
+    return lww_prefix_diff(
+        log, ["repo", "path"], "ordinal", F.col("epoch") < 3,
+        lambda get: [get("ordinal").alias("ordinal"), get("content").alias("content")],
+    )
 
 
 INDEX_STATE_SQL = f"""
@@ -2118,12 +2144,10 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(changed docs × tokens), never a corpus re-tokenization.  The oracle
     tokenizes the FINAL state only and aggregates per term: incremental
     index maintenance must equal a from-scratch build."""
-    from jurisprudencia_privada_etl_spark.operators.change_feed import diff_states
     from jurisprudencia_privada_etl_spark.operators.search_index import apply_feed, build_index
 
-    old, new = _index_states(spark, sf_dir)
+    old, _new, feed = _index_states(spark, sf_dir)
     index0 = build_index(old, "content", ["repo", "path"])
-    feed = diff_states(old, new, ["repo", "path"])
     index1 = apply_feed(index0, feed, "content", ["repo", "path"])
     return index1.groupBy("term").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("tf").cast("long").alias("total_tf")
@@ -2141,17 +2165,15 @@ def q_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents containing every query term, scored by total tf with a
     deterministic key tie-break.  The postings scan prunes to
     ``term IN (...)`` — O(matching postings), not O(index)."""
-    from jurisprudencia_privada_etl_spark.operators.change_feed import diff_states
     from jurisprudencia_privada_etl_spark.operators.search_index import (
         apply_feed,
         build_index,
         search,
     )
 
-    old, new = _index_states(spark, sf_dir)
+    old, _new, feed = _index_states(spark, sf_dir)
     index0 = build_index(old, "content", ["repo", "path"])
-    index1 = apply_feed(index0, diff_states(old, new, ["repo", "path"]), "content",
-                        ["repo", "path"])
+    index1 = apply_feed(index0, feed, "content", ["repo", "path"])
     return search(index1, ["69", "3"], k=20, keys=["repo", "path"])
 
 
