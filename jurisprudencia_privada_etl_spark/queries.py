@@ -172,6 +172,9 @@ def q_cdc_mor_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Two epochs (base write + one delta generation) bound the query's job
     # count; deeper delta stacking is pinned by tests/test_mor.py.
+    # (A fan_out_small_scan here was A/B-measured SLOWER: the replay runs
+    # one action per epoch, so the repartition exchange is re-paid by every
+    # epoch's merge and never reused across actions.)
     log = derived_changelog(spark, sf_dir).where(F.col("epoch") < 2)
     table = tempfile.mkdtemp(prefix="jurisprudencia_etl_mor_")
     # run_extraction=False: the document-extraction Arrow stage is benched by
