@@ -37,11 +37,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 DEAD_LETTER_DIR = "_dead_letter"
+# Enrichment (sidecar-parse) failures live in their OWN subchannel: their
+# rows are (folder, file_index, error), not changelog rows, and must never
+# be swept into requeue_dead_letters' merge loop by an epochs=None requeue
+# (ADVICE r05).  They are re-driven by re-parsing repaired file bytes.
+SIDECAR_DEAD_LETTER_DIR = "_dead_letter_sidecar"
 MARKER = "_REQUEUED"
 
 
-def _channel_dir(table_path: str) -> str:
-    return os.path.join(table_path, DEAD_LETTER_DIR)
+def _channel_dir(table_path: str, channel: str = DEAD_LETTER_DIR) -> str:
+    return os.path.join(table_path, channel)
 
 
 def _dir_rows(d: str) -> int:
@@ -57,10 +62,14 @@ def _dir_rows(d: str) -> int:
     return n
 
 
-def dead_letter_epochs(table_path: str, include_consumed: bool = False) -> list[int]:
+def dead_letter_epochs(
+    table_path: str, include_consumed: bool = False, channel: str = DEAD_LETTER_DIR
+) -> list[int]:
     """Epochs whose dead-letter dir holds ≥1 row, unconsumed only by default.
-    Pure driver-side listing + parquet-footer reads — zero Spark jobs."""
-    root = _channel_dir(table_path)
+    Pure driver-side listing + parquet-footer reads — zero Spark jobs.
+    ``channel`` selects the validation channel (default) or
+    ``SIDECAR_DEAD_LETTER_DIR`` for quarantined enrichment failures."""
+    root = _channel_dir(table_path, channel)
     if not os.path.isdir(root):
         return []
     out = []
@@ -76,12 +85,13 @@ def dead_letter_epochs(table_path: str, include_consumed: bool = False) -> list[
 
 
 def read_dead_letters(
-    spark: SparkSession, table_path: str, epochs: list[int] | None = None
+    spark: SparkSession, table_path: str, epochs: list[int] | None = None,
+    channel: str = DEAD_LETTER_DIR,
 ) -> DataFrame:
     """Load dead-lettered rows (``error`` column included) tagged with
     ``_src_epoch``.  ``epochs=None`` loads every unconsumed epoch."""
-    eps = epochs if epochs is not None else dead_letter_epochs(table_path)
-    root = _channel_dir(table_path)
+    eps = epochs if epochs is not None else dead_letter_epochs(table_path, channel=channel)
+    root = _channel_dir(table_path, channel)
     # pair BEFORE filtering missing dirs — a post-filter zip would shift
     # every later epoch's _src_epoch label onto the wrong rows
     pairs = [

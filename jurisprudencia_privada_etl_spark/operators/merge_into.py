@@ -107,7 +107,13 @@ def merge_into(
         # multiple source rows — duplicate source keys that match nothing
         # simply both take the NOT MATCHED branch and are legal (ADVICE r04).
         # Null-safe semi-join to mirror the merge join's key semantics.
-        tk = target.select(*on).dropDuplicates(on).alias("tk")
+        # (A left_semi probe needs no deduped build side, so no
+        # dropDuplicates exchange here.  Folding this guard into the main
+        # full-outer join — VERDICT r05 #4 — was evaluated and rejected:
+        # the check must raise EAGERLY at call time, which the pinned
+        # semantics tests require; a fused check could only raise when the
+        # lazy merged frame executes.)
+        tk = target.select(*on).alias("tk")
         sk = source.alias("sk")
         semi_cond = None
         for k in on:

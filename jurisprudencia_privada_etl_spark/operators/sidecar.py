@@ -222,31 +222,43 @@ def quarantine_sidecar_errors(
     parsed: DataFrame, table_path: str, epoch: int
 ) -> tuple[DataFrame, int]:
     """Split a quarantine-mode parse and write its error rows to the
-    table's F10 dead-letter channel (``<table>/_dead_letter/epoch=N`` —
-    the directory operators/dead_letter.py enumerates), so one poisoned
-    sidecar quarantines as a row while the epoch commits.
+    table's SIDECAR dead-letter subchannel
+    (``<table>/_dead_letter_sidecar/epoch=N`` — enumerable via
+    ``dead_letter_epochs(..., channel=SIDECAR_DEAD_LETTER_DIR)``), so one
+    poisoned sidecar quarantines as a row while the epoch commits.
 
-    Returns ``(ok_rows, n_dead)``.  Requeue path: these are ENRICHMENT
-    failures keyed by (folder, file_index), not changelog rows — re-drive
-    by re-parsing the repaired file bytes, not through
-    requeue_dead_letters' merge loop (its epochs are disjoint from replay
-    epochs only by caller convention; pick an epoch id outside the replay
-    range, e.g. a sidecar-parse sequence number)."""
+    The subchannel is DISJOINT from the replay's validation channel by
+    construction (ADVICE r05): these are ENRICHMENT failures keyed by
+    (folder, file_index), not changelog rows, so a routine
+    ``requeue_dead_letters(epochs=None)`` can never sweep them into the
+    merge loop — re-drive them by re-parsing the repaired file bytes.
+
+    Returns ``(ok_rows, n_dead)``.  The parse is persisted only for the
+    dead-letter write and unpersisted before returning (ADVICE r05 — no
+    executor-storage leak); consuming ``ok_rows`` re-runs the decode once
+    more, the bounded price of not pinning quarantine batches."""
+    from jurisprudencia_privada_etl_spark.operators.dead_letter import (
+        SIDECAR_DEAD_LETTER_DIR,
+    )
+
     tagged = parsed.persist()
-    dead = tagged.where(F.col("error").isNotNull()).select(
-        "folder", "file_index", "error"
-    )
-    dead_dir = f"{table_path}/_dead_letter/epoch={epoch}"
-    dead.write.mode("overwrite").parquet(dead_dir)
-    import pyarrow.parquet as pq  # row count from footers, zero extra jobs
-    import os as _os
+    try:
+        dead = tagged.where(F.col("error").isNotNull()).select(
+            "folder", "file_index", "error"
+        )
+        dead_dir = f"{table_path}/{SIDECAR_DEAD_LETTER_DIR}/epoch={epoch}"
+        dead.write.mode("overwrite").parquet(dead_dir)
+        import pyarrow.parquet as pq  # row count from footers, zero extra jobs
+        import os as _os
 
-    n_dead = sum(
-        pq.read_metadata(_os.path.join(dead_dir, f)).num_rows
-        for f in _os.listdir(dead_dir)
-        if f.endswith(".parquet")
-    )
-    ok = tagged.where(F.col("error").isNull()).drop("error")
+        n_dead = sum(
+            pq.read_metadata(_os.path.join(dead_dir, f)).num_rows
+            for f in _os.listdir(dead_dir)
+            if f.endswith(".parquet")
+        )
+    finally:
+        tagged.unpersist()
+    ok = parsed.where(F.col("error").isNull()).drop("error")
     return ok, n_dead
 
 

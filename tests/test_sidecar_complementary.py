@@ -295,10 +295,15 @@ def test_poisoned_sidecar_quarantines_and_good_files_parse(spark, tmp_path):
     ok_rows = ok.collect()
     assert {r["folder"] for r in ok_rows} == {"civel/a"}
     assert ok_rows[0]["cells"]["Processo"] == "77/2021"
-    # the channel is the same one the replay's F10 uses: enumerable,
-    # carries the error string, keyed by (folder, file_index)
-    assert dead_letter_epochs(table) == [900]
-    dead = spark.read.parquet(f"{table}/_dead_letter/epoch=900").collect()
+    # enrichment failures land in their OWN subchannel (ADVICE r05): a
+    # routine requeue of the validation channel must never see them
+    from jurisprudencia_privada_etl_spark.operators.dead_letter import (
+        SIDECAR_DEAD_LETTER_DIR,
+    )
+
+    assert dead_letter_epochs(table) == []  # validation channel untouched
+    assert dead_letter_epochs(table, channel=SIDECAR_DEAD_LETTER_DIR) == [900]
+    dead = spark.read.parquet(f"{table}/_dead_letter_sidecar/epoch=900").collect()
     assert dead[0]["folder"] == "civel/b" and dead[0]["file_index"] == 1
     assert dead[0]["error"] and "Error" in dead[0]["error"]  # "<ExcType>: <msg>"
 
