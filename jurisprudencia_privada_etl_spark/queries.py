@@ -734,10 +734,21 @@ GROUP BY a.user_id
 
 def q_reconcile_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6/J4: keys the changelog mentions that are absent from the converged
-    state (i.e. last op was a tombstone) — the repair scan."""
+    state (i.e. last op was a tombstone) — the repair scan.
+
+    Both missing_keys inputs derive from ONE narrow groupBy of the log
+    (max ordinal + max tombstone ordinal per key — two long aggregates,
+    map-side partially aggregated) instead of a full-payload LWW window
+    plus a separate distinct over the whole log: the winner is live iff
+    the newest row is not the newest tombstone, so the anti-join then
+    runs over per-key frames only (guide §2.3 aggregate-before-shuffle)."""
     log = derived_changelog(spark, sf_dir)
-    live = _lww_state(spark, sf_dir)
-    return missing_keys(log, live)
+    g = log.groupBy("repo", "path").agg(
+        F.max("ordinal").alias("_mo"),
+        F.max(F.when(F.col("op") == "D", F.col("ordinal"))).alias("_md"),
+    )
+    live = g.where(~F.col("_md").eqNullSafe(F.col("_mo"))).select("repo", "path")
+    return missing_keys(g, live)
 
 
 SQL_RECONCILE_MISSING = LWW_STATE_CTE + """
