@@ -1534,23 +1534,26 @@ def q_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     state (operators/change_feed.diff_states — the Delta-CDF-shaped feed).
     The oracle recomputes both LWW states and classifies via a full outer
     join, so insert/delete/update_pre/postimage semantics are all checked."""
-    from jurisprudencia_privada_etl_spark.operators.change_feed import lww_prefix_diff
+    from jurisprudencia_privada_etl_spark.operators.change_feed import diff_states
 
-    # both LWW states and their diff from ONE keyed aggregation (see
-    # lww_prefix_diff): the two-scan/two-window/full-outer-join form this
-    # replaces is property-identical (diff_states semantics over the same
-    # projected payload).
+    # (The fused lww_prefix_diff single-window form was interleave-A/B'd
+    # here and measured slightly SLOWER at bench scale — the compositional
+    # form's two prefix-window branches parallelize across the same cores —
+    # so the textbook two-state + diff_states shape stays; the fused shape
+    # remains available for feeds over wider payloads, see change_feed.py.)
     log = derived_changelog(spark, sf_dir)
-    _old, _new, feed = lww_prefix_diff(
-        log, ["repo", "path"], "ordinal", F.col("epoch") <= 2,
-        lambda get: [
-            get("ordinal").alias("ordinal"),
-            F.sha2(get("content"), 256).alias("content_sha"),
-        ],
-    )
-    return feed.select(
-        "repo", "path", "ordinal", "content_sha",
-        F.col("_change_type").alias("change_type"),
+    cols = ["repo", "path", "ordinal", "content_sha"]
+
+    def state(df):
+        live = lww_dedup(df, ["repo", "path"], "ordinal").where(F.col("op") != "D")
+        return live.select(
+            "repo", "path", "ordinal", F.sha2(F.col("content"), 256).alias("content_sha")
+        )
+
+    old = state(log.where(F.col("epoch") <= 2))
+    new = state(log)
+    return diff_states(old, new, ["repo", "path"]).select(
+        *cols, F.col("_change_type").alias("change_type")
     )
 
 
@@ -2012,26 +2015,28 @@ FROM s JOIN e USING (l_returnflag)
 
 def _mview_states(spark: SparkSession, sf_dir: str):
     """(prefix state, final state, feed) of the derived changelog, projected
-    to the view inputs, all from ONE keyed aggregation (lww_prefix_diff —
-    the former per-state window scans and the diff's full-outer join share
-    a single exchange).  ``lang`` is PAYLOAD (an update can move a key
+    to the view inputs.  ``lang`` is PAYLOAD (an update can move a key
     between groups — the group-migration case both refresh paths must
-    handle).  ``content_len`` is projected BEFORE the aggregation so the
-    shuffle never carries content bytes (guide §2.3)."""
-    from jurisprudencia_privada_etl_spark.operators.change_feed import lww_prefix_diff
+    handle).  ``content_len`` is projected BEFORE the windows so their
+    shuffles never carry content bytes (guide §2.3).  The fused
+    lww_prefix_diff single-window form was interleave-A/B'd here and
+    measured ~25% slower at bench scale (its one window subtree recomputes
+    per consuming branch, while the compositional form's independent
+    branches parallelize) — the compositional shape stays."""
+    from jurisprudencia_privada_etl_spark.operators.change_feed import diff_states
 
     log = derived_changelog(spark, sf_dir).select(
         "repo", "path", "ordinal", "op", "epoch", "lang",
         F.length("content").cast("long").alias("content_len"),
     )
-    return lww_prefix_diff(
-        log, ["repo", "path"], "ordinal", F.col("epoch") < 3,
-        lambda get: [
-            get("ordinal").alias("ordinal"),
-            get("lang").alias("lang"),
-            get("content_len").alias("content_len"),
-        ],
-    )
+
+    def state(df):
+        live = lww_dedup(df, ["repo", "path"], "ordinal").where(F.col("op") != "D")
+        return live.select("repo", "path", "ordinal", "lang", "content_len")
+
+    old = state(log.where(F.col("epoch") < 3))
+    new = state(log)
+    return old, new, diff_states(old, new, ["repo", "path"])
 
 
 MVIEW_STATES_SQL = f"""
