@@ -189,11 +189,14 @@ def q_tpch_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_nationkey", "n_name")
     )
+    # both dimension joins broadcast the IDENTICAL nations subtree (same
+    # projection), so the second one is a ReusedExchange instead of a
+    # second broadcast build job (guide §2.4)
     cust = _t(spark, sf_dir, "customer").join(
         F.broadcast(nations), F.col("c_nationkey") == F.col("n_nationkey")
     ).select("c_custkey", F.col("n_nationkey").alias("cn_key"), "n_name")
     supp = _t(spark, sf_dir, "supplier").join(
-        F.broadcast(nations.select("n_nationkey")),
+        F.broadcast(nations),
         F.col("s_nationkey") == F.col("n_nationkey"),
     ).select("s_suppkey", F.col("n_nationkey").alias("sn_key"))
     orders = (

@@ -187,6 +187,24 @@ ROUNDS_JSON = os.path.join(REPO, "BENCH", "cluster_rounds.json")
 CONFIG_TAG = "n_salts=0,files_per_bucket=2,n_buckets=128,io_codec=zstd,local-cluster"
 
 
+def _reps_note(pair_rounds: list) -> str:
+    """Surface per-level replicate counts (and any asymmetry) in the table
+    header — ADVICE r05: best-of over asymmetric replicate counts is part
+    of the statistic and must be visible without reading the script."""
+    r1 = sorted({p["1"].get("reps_requested", len(p["1"]["full_sec"])) for p in pair_rounds})
+    r4 = sorted({p["4"].get("reps_requested", len(p["4"]["full_sec"])) for p in pair_rounds})
+    note = f"Replicates per round (best-of): 1x8 = {r1}, 4x8 = {r4}."
+    if r1 != r4:
+        note += (
+            "  ASYMMETRIC by design: extra 4x8 replicates can only move that"
+            " level's best-of DOWN toward its clean value under the one-sided"
+            " noise model (see script docstring), i.e. the reported ratio is"
+            " a conservative-or-accurate estimate, never inflated; raw"
+            " replicates per round are in cluster_rounds.json."
+        )
+    return note
+
+
 def _render(n_events: int, pair_rounds: list, suffix: str = "") -> str:
     lines = [
         "# BENCH/cluster_scaling — N vs 4N separate executor JVMs",
@@ -198,6 +216,8 @@ def _render(n_events: int, pair_rounds: list, suffix: str = "") -> str:
         "table in BENCH/BASELINE.md.  `taskset` pins each level's whole JVM",
         "tree to 8 resp. 32 cores; the runner asserts the executor count it",
         "actually got.  GIL-free burns bracket each level window.",
+        "",
+        _reps_note(pair_rounds),
         "",
         "| round | 1 exec × 8 cores | 4 execs × 8 cores | N→4N efficiency | brackets 1x8 (M/s) | brackets 4x8 (M/s) |",
         "|---|---|---|---|---|---|",
@@ -375,6 +395,10 @@ def main() -> None:
                 pair[str(n_execs)] = run_level(
                     n_execs, 8, wd, zip_path, reps if n_execs == 1 else reps4
                 )
+                # ADVICE r05: the per-level replicate count is part of the
+                # statistic — record it in the artifact so the rendered
+                # table can flag asymmetric sampling to auditors
+                pair[str(n_execs)]["reps_requested"] = reps if n_execs == 1 else reps4
                 print(f"round {len(pair_rounds)} execs {n_execs}: {pair[str(n_execs)]}",
                       flush=True)
             pair_rounds.append(pair)
