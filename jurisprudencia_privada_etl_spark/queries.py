@@ -2125,14 +2125,21 @@ FROM state GROUP BY lang, repo
 
 def _index_states(spark: SparkSession, sf_dir: str):
     """(prefix state, final state, feed) carrying the raw text for
-    tokenization — one keyed aggregation for all three (lww_prefix_diff)."""
-    from jurisprudencia_privada_etl_spark.operators.change_feed import lww_prefix_diff
+    tokenization.  Compositional two-window + diff_states form: the fused
+    lww_prefix_diff single-window variant was interleave-A/B'd here like
+    the mview states and measured ~18% slower (0.86 vs 1.05 s median) —
+    its one window subtree recomputes per consuming branch."""
+    from jurisprudencia_privada_etl_spark.operators.change_feed import diff_states
 
     log = derived_changelog(spark, sf_dir)
-    return lww_prefix_diff(
-        log, ["repo", "path"], "ordinal", F.col("epoch") < 3,
-        lambda get: [get("ordinal").alias("ordinal"), get("content").alias("content")],
-    )
+
+    def state(df):
+        live = lww_dedup(df, ["repo", "path"], "ordinal").where(F.col("op") != "D")
+        return live.select("repo", "path", "ordinal", "content")
+
+    old = state(log.where(F.col("epoch") < 3))
+    new = state(log)
+    return old, new, diff_states(old, new, ["repo", "path"])
 
 
 INDEX_STATE_SQL = f"""
