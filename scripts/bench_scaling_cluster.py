@@ -25,7 +25,16 @@ Protocol mirrors the thread bench where it matters:
   * the runner ASSERTS the executor count it got (statusTracker) — a level
     that silently fell back to fewer executors never reports a number.
 
-Usage: python scripts/bench_scaling_cluster.py [n_events] [rounds] [reps] [reps4] [--append]
+Usage: python scripts/bench_scaling_cluster.py [n_events] [rounds] [reps] [reps4] [--append] [--order41]
+
+Round-6 additions (VERDICT r05 #1): every timed replicate is bracketed by
+the STREAM-triad bandwidth probe (scripts/probe_bandwidth.py) run before
+it — and once after the last — inside the level's core mask; readings are
+recorded per-replicate in the artifact (``bw_gbps``) so each replicate can
+be gated at analysis time at >= ~80% of the clean-window reading (CPU
+burns cannot see bandwidth theft).  ``--order41`` runs the 4x8 level first
+in each pair, so a clean probe reading is spent on the level that needs
+it instead of on the ~4x-longer 1x8 level.
 Writes BENCH/cluster_rounds.json and renders BENCH/cluster_scaling.md.
 
 ``reps4`` (default = ``reps``) sets the 4×8 level's replicate count
@@ -79,10 +88,11 @@ spark.stop()
 # takes the master/confs from the submit command, the engine package resolves
 # ONLY through --py-files (parent strips PYTHONPATH, neutral cwd).
 RUNNER = r'''
-import json, shutil, sys, time
+import json, shutil, subprocess, sys, time
 from pyspark.sql import SparkSession
 
-wd, shm, n_execs, reps = sys.argv[1], sys.argv[2], int(sys.argv[3]), int(sys.argv[4])
+wd, shm, n_execs, reps, repo = (sys.argv[1], sys.argv[2], int(sys.argv[3]),
+                                int(sys.argv[4]), sys.argv[5])
 spark = SparkSession.builder.getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 from jurisprudencia_privada_etl_spark.session import apply_runtime_defaults
@@ -114,11 +124,24 @@ def run_replay(src, tag):
     shutil.rmtree(table, ignore_errors=True)
     return dt
 
+def bw_probe():
+    # VERDICT r05 #1a: memory-bandwidth probe BEFORE each timed replicate
+    # (and once after the last) — CPU burns cannot see bandwidth theft.
+    # Run as a fresh subprocess, never a fork of this JVM-attached driver.
+    out = subprocess.check_output(
+        [sys.executable, repo + "/scripts/probe_bandwidth.py",
+         "--mb", "256", "--reps", "3"])
+    return json.loads(out.decode())["gbps"]
+
 run_replay(wd + "/wclog", "warmtable")   # JIT + python-worker warmup
 run_replay(wd + "/clog", "cachewarm")    # untimed page-cache pass
-full = [run_replay(wd + "/clog", "t_%d" % r) for r in range(reps)]
+full, bws = [], []
+for r in range(reps):
+    bws.append(bw_probe())
+    full.append(run_replay(wd + "/clog", "t_%d" % r))
+bws.append(bw_probe())
 print("RESULT " + json.dumps({"n_execs": n_execs, "full_sec": full,
-                              "executors": execs}))
+                              "bw_gbps": bws, "executors": execs}))
 spark.stop()
 '''
 
@@ -169,7 +192,7 @@ def run_level(n_execs: int, cores: int, wd: str, zip_path: str, reps: int) -> di
              "--conf", "spark.python.worker.faulthandler.enabled=true",
              "--conf", "spark.executor.extraJavaOptions=-XX:+UseParallelGC",
              "--conf", "spark.driver.extraJavaOptions=-XX:+UseParallelGC",
-             runner, wd, shm, str(n_execs), str(reps)],
+             runner, wd, shm, str(n_execs), str(reps), REPO],
             cwd=wd, env=env, capture_output=True, text=True, timeout=3600,
         )
         if out.returncode != 0:
@@ -311,9 +334,13 @@ def _render(n_events: int, pair_rounds: list, suffix: str = "") -> str:
     ]
     for i, pair in enumerate(pair_rounds):
         for k, label in (("1", "1x8"), ("4", "4x8")):
+            bw = pair[k].get("bw_gbps")
+            bw_note = (
+                f" bw_gbps={[round(x, 1) for x in bw]}" if bw else ""
+            )
             lines.append(
                 f"* round {i} {label}: full={[round(s, 1) for s in pair[k]['full_sec']]} "
-                f"executors={len(pair[k]['executors']) - 1}"
+                f"executors={len(pair[k]['executors']) - 1}{bw_note}"
             )
     # hand-maintained trust/forensics annotation survives re-renders: kept
     # in its own file and appended verbatim (the round-4 hand section was
@@ -363,6 +390,9 @@ def main() -> None:
     reps = int(args[2]) if len(args) > 2 else 2
     reps4 = int(args[3]) if len(args) > 3 else reps
     append = "--append" in sys.argv
+    # VERDICT r05 #1c: when the probe reads clean, measure 4x8 FIRST
+    # instead of paying the long 1x8 level into a possibly-closing window.
+    order41 = "--order41" in sys.argv
 
     # the generated changelog lives on tmpfs for the same reason shuffle and
     # sink do: the sandbox has ONE shared disk, so once the input outgrows
@@ -391,7 +421,7 @@ def main() -> None:
     try:
         for _ in range(rounds):
             pair = {}
-            for n_execs in (1, 4):
+            for n_execs in ((4, 1) if order41 else (1, 4)):
                 pair[str(n_execs)] = run_level(
                     n_execs, 8, wd, zip_path, reps if n_execs == 1 else reps4
                 )
